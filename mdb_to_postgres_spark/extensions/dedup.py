@@ -1,0 +1,263 @@
+"""Deduplication operators (SURVEY.md §2.9 #59-60 + driver-mandated set).
+
+Scale shapes:
+- exact dedup: hash-groupBy — shuffle is proportional to distinct content
+  hashes, never to corpus bytes (hash first, shuffle 32-byte keys).
+- n-gram Jaccard: shingle-inverted-index self-join — pairs are generated
+  only for docs sharing a shingle, not the O(n^2) cross product.
+- MinHash LSH: banded signatures bucket-join candidates, then exact
+  verification on the (tiny) candidate set — the 100 TB near-dup path.
+- SimHash: 64-bit signatures; Hamming-ball candidates via 16-bit chunk
+  blocking (pigeonhole: distance<=3 pairs share a chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import T
+
+# Shared tokenization: lowercase, split on single spaces (corpus text is
+# single-spaced lowercase words; the normalized variant handles messier
+# input below).
+def _TOKS() -> "F.Column":  # lazy: Column creation needs an active SparkContext
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per doc."""
+    return (
+        df.select("doc_id", _TOKS().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', slice(toks, i+1, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "x_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup (#59), deterministic keep-lowest-id."""
+    return (
+        T(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("copies"))
+    )
+
+
+@query(
+    "x_dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
+    FROM n GROUP BY content_hash
+    """,
+)
+def x_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization — catches the
+    trivially-reformatted duplicates exact hashing misses."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[ ]+", " "))).alias("content_hash"),
+    )
+    return d.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("copies")
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(l) - 2),
+             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+      FROM toks WHERE len(l) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) >= 0.35
+"""
+
+
+@query("x_dedup_near_jaccard", oracle=_JACCARD_ORACLE)
+def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup (#60, deterministic variant): inverted
+    shingle index self-joined, so only docs sharing a shingle pair up.
+    Integer intersection / sizes -> one double divide: bit-deterministic."""
+    d = T(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+_N_HASHES = 32
+_N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.5 candidates
+
+
+@query("x_dedup_minhash_lsh")  # rows-only: hash mixing is engine-specific
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup (#60, scale variant).
+
+    shingle -> 32 xxhash64 minhashes -> 8 bands of 4 -> bucket join on
+    (band, band-signature) -> exact Jaccard verification of candidates.
+    Everything is DataFrame ops: the signature build is one groupBy over
+    the shingle index; candidate generation touches only bucket collisions.
+    Tests assert candidate recall against x_dedup_near_jaccard.
+    """
+    d = T(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    # 32 independent permutations via seeded xxhash64 of the shingle.
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)]
+    )
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification on the candidate set only.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+@query("x_dedup_simhash")  # rows-only: bit mixing is engine-specific
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign of per-bit token-hash
+    sums; candidate pairs block on equal 16-bit chunks (pigeonhole for
+    Hamming distance <= 3), then exact popcount filter."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_TOKS()).alias("tok"))
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                * F.shiftleft(F.lit(1).cast("long"), b)
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk_id", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

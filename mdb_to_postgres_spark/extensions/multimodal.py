@@ -1,0 +1,154 @@
+"""Multimodal binary columns (SURVEY.md §2.9 #66).
+
+The reference's OLE-object (BYTEA) columns, modernized: media as opaque
+``binary`` columns with a typed metadata struct, plus decode/feature
+pipelines as Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked deterministic stub (`_fake_decode`) — the Spark-side contract
+(schema, batch shape, partitioning) is real and tested; swapping in a real
+codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import T as tbl
+
+
+@query(
+    "x_multimodal_ingest",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(CAST(text AS BLOB)) AS content_sha256,
+           'text/plain' AS mime,
+           lang AS meta_lang,
+           source AS meta_source
+    FROM documents
+    """,
+)
+def x_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column ingest (#66): payload bytes + typed metadata. The
+    binary payload itself stays opaque; what's checked is the byte length
+    and content digest — exactly what a real media-lake manifest carries."""
+    d = tbl(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.lit("text/plain").alias("mime"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("meta_source"),
+    )
+
+
+@query("x_multimodal_binaryfile")  # rows-only: paths/sizes are environment data
+def x_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile source: whole files as (path, length, content) rows —
+    how raw media lands in the lake before any decode."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+# Decoded-frame schema: what a real image/video decoder would emit.
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB decoder — deterministic fake standing in for PIL/ffmpeg, which
+    are not installed here. Derives shape/feature purely from the bytes so
+    tests are reproducible. Replace with a real codec in production."""
+    n = len(payload)
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    n_frames = 1 + n % 4
+    feature = [float((payload[i % n] if n else 0) % 97) / 97.0 for i in range(8)]
+    return width, height, n_frames, feature
+
+
+def decode_media(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched decode stage: mapInPandas keeps whole partitions
+    streaming through Python in columnar batches — the only sane shape for
+    per-blob Python work at scale (no per-row pickling, no collect)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "feature": [d[3] for d in decoded],
+                }
+            )
+
+    return binary_df.mapInPandas(decode_batches, schema=_DECODED_SCHEMA)
+
+
+@query("x_multimodal_decode_stub")  # rows-only: decoder is a stub by design
+def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline (#66): binary payloads through the
+    mapInPandas decode stage. Real schema, batching and partition flow;
+    stubbed codec."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_media(d)
+
+
+@query(
+    "x_multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+             1 + octet_length(CAST(text AS BLOB)) % 4 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, n_frames,
+           UNNEST(range(n_frames)) AS frame_idx,
+           n_bytes // (UNNEST(range(n_frames)) + 1) AS frame_offset
+    FROM m
+    """,
+)
+def x_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: one row per sampled frame with its byte
+    offset — the explode pattern a video pipeline uses to fan decoded
+    frames out to per-frame feature extraction. Offsets here come from the
+    stub length arithmetic, so the fan-out is oracle-checkable."""
+    d = tbl(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    m = d.select("doc_id", n_bytes.cast("long").alias("n_bytes"), (1 + n_bytes % 4).cast("long").alias("n_frames"))
+    return m.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        "n_bytes",
+    ).select(
+        "doc_id",
+        "n_frames",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.floor(F.col("n_bytes") / (F.col("frame_idx") + 1)).alias("frame_offset"),
+    )

@@ -1,0 +1,249 @@
+"""Similarity search over embeddings (SURVEY.md §2.9 #61-62).
+
+Determinism: cosine is computed as a left-to-right double fold over the
+vector (Spark ``F.aggregate`` == DuckDB ``list_reduce`` order), then one
+divide over two correctly-rounded sqrts — bit-identical across engines.
+
+Scale shapes:
+- brute force is the correctness baseline (and is itself partition-
+  parallel: the corpus side is broadcast when it fits);
+- random-hyperplane LSH buckets candidates: probes touch only colliding
+  buckets — the 100 TB ANN path;
+- IVF: coarse-quantize the corpus by nearest centroid, probe the closest
+  nprobe lists only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import T
+
+# -- shared cosine machinery (fold order matches DuckDB list_reduce) -----
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DuckDB twin of the fold above. list_reduce has no init; the implicit
+# first-element init equals Spark's 0.0+x first step for addition.
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p.list_1 AS DOUBLE) * CAST(p.list_2 AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "SQRT(list_reduce(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)})"
+        f" / (({_SQL_NORM.format(a=a)}) * ({_SQL_NORM.format(a=b)}))"
+    )
+
+
+@query(
+    "x_sim_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND {_sql_cosine('a.embedding', 'b.embedding')} > 0.2
+    """,
+)
+def x_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine (#61) on a bounded slice (all unordered pairs
+    of the first 200 vectors), thresholded."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") > 0.2)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@query(
+    "x_sim_topk_knn",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rn
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= 20
+      WHERE q.vec_id < 20
+    ) WHERE rn <= 5
+    """,
+)
+def x_sim_topk_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k nearest neighbors (#62): 20 query vectors vs the
+    rest of the corpus; window top-5 with id tiebreak. The corpus scan is
+    a broadcast of the (tiny) query side against every corpus partition —
+    embarrassingly parallel at any corpus size."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+_N_PLANES = 16  # one 16-bit LSH code per vector
+
+
+def _rhp_code(emb: Column) -> Column:
+    """Random-hyperplane code: bit p = sign of dot(v, h_p), hyperplanes
+    derived deterministically from xxhash64(plane, dim) — no stored model."""
+    bits = []
+    for p in range(_N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(emb) - 1),
+                    lambda i: (
+                        F.xxhash64(F.lit(f"plane{p}"), i).cast("double") / F.lit(float(2**63))
+                    ),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sum(bits[1:], bits[0])
+
+
+@query("x_sim_ann_lsh")  # rows-only: hash-derived hyperplanes are engine-specific
+def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (#62 scale path): vectors bucket by
+    16-bit code; queries probe only their own bucket's candidates, then
+    exact-rescore. Tests measure recall vs x_sim_topk_knn."""
+    e = T(spark, sf_dir, "embeddings")
+    coded = e.withColumn("code", _rhp_code(F.col("embedding")))
+    q = coded.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "code"
+    )
+    c = coded.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "code"
+    )
+    cand = c.join(F.broadcast(q), "code")
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+_N_CENTROIDS_MOD = 25  # corpus vectors with vec_id % MOD == 0 seed the centroids
+_NPROBE = 4
+
+
+@query("x_sim_ann_ivf")  # rows-only: probe pruning is an approximation
+def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF coarse quantization (#62 scale path): corpus vectors are
+    assigned to their nearest centroid (deterministic seed vectors);
+    queries probe the nprobe nearest centroid lists and exact-rescore only
+    those. The inverted-list partitioning is exactly how a 100 TB corpus
+    would be laid out (one parquet partition per list)."""
+    e = T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    # Assign every corpus vector to its nearest centroid.
+    corpus = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("c_emb"), F.col("cent_emb")))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("neighbor_id", "c_emb", "centroid_id")
+    )
+    # Queries pick their nprobe closest centroids.
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= _NPROBE)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id")
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+@query(
+    "x_dedup_embedding_cos",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} > 0.95
+    """,
+)
+def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: unordered pairs above a
+    0.95 threshold over the full embeddings table."""
+    e = T(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") > 0.95)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

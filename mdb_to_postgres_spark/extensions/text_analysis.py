@@ -1,0 +1,299 @@
+"""Text analysis operators (SURVEY.md §2.9 #63-65 + driver-mandated set):
+tokenize/TF, TF-IDF, corpus stats, language-ID heuristic, quality scoring,
+document fingerprinting.
+
+All computations stay JVM-side (split/explode/groupBy + integer or
+single-divide double arithmetic) — no Python in the hot path; the fold-
+based fingerprint mirrors DuckDB's list_reduce order exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import T
+
+def _TOKS() -> "F.Column":  # lazy: Column creation needs an active SparkContext
+    return F.split(F.lower(F.col("text")), " ")
+
+# Tiny per-language stopword lists for the n-gram/lexicon language-ID
+# heuristic. Chosen to be disjoint.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "with", "fast", "slow"),
+    "es": ("el", "la", "los", "con", "por", "para"),
+    "fr": ("le", "les", "des", "avec", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "mit", "für"),
+}
+
+
+@query(
+    "x_text_tokenize_tf",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS tf
+    FROM toks
+    WHERE term <> ''
+    GROUP BY term
+    """,
+)
+def x_text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (#63): tokenize -> explode -> count."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_TOKS()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@query(
+    "x_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 100
+    """,
+)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (#64), smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1.
+    Rounded to 6 decimals: ln differs by <=1 ulp between libms, everything
+    else is exact integer arithmetic. Output limited to doc_id < 100."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    out = (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ),
+        )
+        .filter(F.col("doc_id") < 100)
+    )
+    return out.select("doc_id", "term", "tf", "df", "tfidf")
+
+
+@query(
+    "x_text_lang_stats",
+    oracle="""
+    SELECT lang,
+           n_chars // 100 AS len_bucket,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, n_chars // 100
+    """,
+)
+def x_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length histogram + stats (#65): integer sums are exact,
+    avg is one IEEE divide."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", (F.floor(F.col("n_chars") / 100)).alias("len_bucket"))
+        .agg(
+            F.count("*").alias("doc_cnt"),
+            (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _marker_hits(lang: str) -> F.Column:
+    words = _LANG_MARKERS[lang]
+    toks = F.filter(_TOKS(), lambda t: t.isin(*words))
+    return F.size(toks)
+
+
+def _sql_marker_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({words})))"
+
+
+@query(
+    "x_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_marker_hits('en')} AS hits_en,
+             {_sql_marker_hits('es')} AS hits_es,
+             {_sql_marker_hits('fr')} AS hits_fr,
+             {_sql_marker_hits('de')} AS hits_de
+      FROM documents
+    )
+    SELECT doc_id, lang, hits_en, hits_es, hits_fr, hits_de,
+           CASE
+             WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+             WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+             WHEN hits_fr >= hits_de THEN 'fr'
+             ELSE 'de'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon language-ID heuristic: count per-language marker tokens,
+    argmax with a fixed precedence order (deterministic tie-break)."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _marker_hits("en").cast("long").alias("hits_en"),
+        _marker_hits("es").cast("long").alias("hits_es"),
+        _marker_hits("fr").cast("long").alias("hits_fr"),
+        _marker_hits("de").cast("long").alias("hits_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de")),
+            "en",
+        )
+        .when((F.col("hits_es") >= F.col("hits_fr")) & (F.col("hits_es") >= F.col("hits_de")), "es")
+        .when(F.col("hits_fr") >= F.col("hits_de"), "fr")
+        .otherwise("de")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, t -> t IN ({', '.join(f"'{w}'" for w in _STOPWORDS)}))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CASE WHEN len(toks) BETWEEN 20 AND 2000
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token count, mean token length, stopword
+    ratio, type-token ratio, and a keep/drop gate — the standard cheap
+    pretraining-corpus filters, all as integer counts + single divides."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(_TOKS(), lambda t: t != "")
+    t = d.select("doc_id", "n_chars", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tok = F.size("toks")
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tok
+    )
+    return t.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("ttr"),
+        F.when(n_tok.between(20, 2000) & (distinct_ratio > 0.1), 1).otherwise(0).alias("quality_keep"),
+    )
+
+
+@query(
+    "x_text_token_count",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+')) AS word_pieces,
+             CAST(CEIL(n_chars / 4.0) AS BIGINT) AS byte_pair_est
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(word_pieces) AS BIGINT) AS total_word_pieces,
+           CAST(SUM(byte_pair_est) AS BIGINT) AS total_bpe_est,
+           COUNT(*) AS doc_cnt
+    FROM t GROUP BY lang
+    """,
+)
+def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, regex word pieces, and
+    the chars/4 BPE budget estimate — the corpus-sizing numbers every
+    training-data pipeline reports."""
+    d = T(spark, sf_dir, "documents")
+    ws = F.size(F.filter(_TOKS(), lambda t: t != ""))
+    pieces = F.regexp_count(F.col("text"), F.lit("[a-z]+"))
+    bpe = F.ceil(F.col("n_chars") / 4.0).cast("long")
+    t = d.select("doc_id", "lang", ws.cast("long").alias("ws_tokens"), pieces.cast("long").alias("word_pieces"), bpe.alias("byte_pair_est"))
+    return t.groupBy("lang").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("word_pieces").alias("total_word_pieces"),
+        F.sum("byte_pair_est").alias("total_bpe_est"),
+        F.count("*").alias("doc_cnt"),
+    )
+
+
+# Per-token value for the rolling fingerprint: only +, *, % over exact
+# integers — identical on both engines. Token value mixes length and first/
+# last character codes.
+_SQL_TOKVAL = "(length(t) * 31 + ascii(substr(t, 1, 1)) * 7 + ascii(substr(t, length(t), 1)))"
+
+
+@query(
+    "x_text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                              t -> CAST({_SQL_TOKVAL} AS BIGINT))) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(vals, (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM t
+    """,
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint: h = (h*131 + tokval) mod p
+    over the token stream. Order-sensitive (unlike a content hash) and
+    bit-deterministic across engines — pure 64-bit integer fold."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(_TOKS(), lambda t: t != "")
+    tokval = F.transform(
+        toks,
+        lambda t: (
+            F.length(t) * 31
+            + F.ascii(F.substring(t, 1, 1)) * 7
+            + F.ascii(t.substr(F.length(t), F.lit(1)))
+        ).cast("long"),
+    )
+    fp = F.aggregate(
+        tokval,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

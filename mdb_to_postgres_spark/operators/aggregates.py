@@ -1,0 +1,202 @@
+"""Aggregation operators (SURVEY.md §2.4 #25-32).
+
+All Spark aggregates here compile to two-phase HashAggregate (partial
+map-side + final after shuffle), so shuffled bytes scale with group count,
+not row count. Float-summation order-sensitivity is neutralized by the
+decimal-exact helpers in functions/compat.py; variance/correlation are
+computed from exact moment sums with a textually identical IEEE formula on
+both engines (SURVEY.md §4.3 determinism table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import CHARGE_EXPR, davg, dsum
+from ..registry import query
+from ..sources.tables import T
+
+
+@query(
+    "agg_hash_global",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           COUNT(DISTINCT l_suppkey) AS supp_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates (#25) over the fact table."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({CHARGE_EXPR}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 pricing-summary pattern (#26)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.expr(f"CAST(SUM({CHARGE_EXPR}) AS DOUBLE)").alias("sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_discount", "avg_disc"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (#27): multiple COUNT(DISTINCT) expand to a
+    multi-phase plan; SUM(DISTINCT) over exact decimals stays order-free."""
+    return T(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_distinct_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate is impl-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality (#28). The scale path for COUNT(DISTINCT):
+    mergeable sketches, no expand — at 100 TB this is the difference
+    between one shuffle of sketches and a shuffle of every distinct value."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in one pass (#29): rollup produces
+    (flag, status), (flag), and grand-total rows with NULL markers."""
+    return T(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS cust_cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING COUNT(*) >= 5
+       AND CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) > 4000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (#30): HAVING is just filter-after-agg."""
+    g = T(spark, sf_dir, "customer").groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("cust_cnt"),
+        davg("c_acctbal", "avg_bal"),
+    )
+    return g.filter((F.col("cust_cnt") >= 5) & (F.col("avg_bal") > 4000))
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS cust_cnt
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group set assembly (#31). collect_set is unordered by nature, so
+    determinism comes from array_sort on the result."""
+    return T(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("cust_cnt"),
+    )
+
+
+# Exact-moment formulas, written once and used verbatim by both engines so
+# every IEEE op sequence is identical (compat.py rationale).
+_S1 = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+_S2 = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+_N = "CAST(COUNT(o_totalprice) AS DOUBLE)"
+_VAR = f"(({_S2}) - ({_S1}) * ({_S1}) / ({_N})) / (({_N}) - 1)"
+_SK = "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)"
+_SKK = "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)"
+_SPK = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)"
+_CORR = (
+    f"(({_N}) * ({_SPK}) - ({_S1}) * ({_SK}))"
+    f" / (SQRT(({_N}) * ({_S2}) - ({_S1}) * ({_S1}))"
+    f" * SQRT(({_N}) * ({_SKK}) - ({_SK}) * ({_SK})))"
+)
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           {_VAR} AS var_price,
+           SQRT({_VAR}) AS stddev_price,
+           {_CORR} AS corr_price_custkey,
+           MEDIAN(o_totalprice) AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (#32): sample variance/stddev/corr from exact
+    decimal moment sums (bit-reproducible), plus exact median."""
+    return T(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.expr(_VAR).alias("var_price"),
+        F.expr(f"SQRT({_VAR})").alias("stddev_price"),
+        F.expr(_CORR).alias("corr_price_custkey"),
+        F.median("o_totalprice").alias("median_price"),
+    )

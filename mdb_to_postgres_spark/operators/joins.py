@@ -1,0 +1,295 @@
+"""Join operators (SURVEY.md §2.3 #14-24).
+
+Physical-strategy notes (verified via .explain in tests/test_plans.py):
+- dimension joins broadcast (region/nation always; customer under AQE
+  thresholds at small sf) — no shuffle of the fact side;
+- fact-fact joins (lineitem x orders) sort-merge with AQE skew handling;
+- the as-of and band joins use the linear formulations in ``asof.py``
+  instead of BroadcastNestedLoopJoin, which is the difference between
+  O(n) and O(n*m) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import REVENUE_EXPR
+from ..registry import query
+from ..sources.tables import T
+from .asof import asof_join, range_join
+
+# Epoch-seconds view of events: all as-of/range logic runs on BIGINT
+# seconds, sidestepping ns-vs-us timestamp precision differences between
+# engines (SURVEY.md §4.3 determinism table).
+_EV_SEC = "CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)"
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
+    )
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (#14): orders x customer on custkey."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join (#15): explicit broadcast() on nation and
+    region keeps the customer side shuffle-free at any scale."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderdate, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join (#16): lineitem x orders shuffles both sides on
+    the key; the merge hint documents intent (AQE may still pick better)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.hint("merge").join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (#17) with an ON-clause filter on the right side —
+    the null-extension case the HAVING/WHERE placement gets wrong."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT a.c_custkey AS left_key, a.c_acctbal, b.o_custkey AS right_key, b.order_cnt
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 200) a
+    FULL JOIN (SELECT o_custkey, COUNT(*) AS order_cnt
+               FROM orders WHERE o_custkey >= 100 AND o_custkey < 300
+               GROUP BY o_custkey) b
+      ON a.c_custkey = b.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (#17): overlapping key ranges so both sides produce
+    null-extended rows."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(F.col("c_custkey"), "c_acctbal")
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter((F.col("o_custkey") >= 100) & (F.col("o_custkey") < 300))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").alias("left_key"),
+        "c_acctbal",
+        F.col("o_custkey").alias("right_key"),
+        "order_cnt",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (#18): EXISTS without duplicating left rows."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (#19): customers with no orders."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (#20) — only ever sane on small inputs."""
+    return T(spark, sf_dir, "region").crossJoin(T(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b, a.n_name AS name_a, b.n_name AS name_b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join (#21): unordered pairs within a region. The
+    equi part (regionkey) keeps it a hash join with a residual predicate,
+    not a nested loop."""
+    a = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"),
+        F.col("n_regionkey").alias("rk_a"),
+    )
+    b = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"),
+        F.col("n_regionkey").alias("rk_b"),
+    )
+    return (
+        a.join(b, (F.col("key_a") < F.col("key_b")) & (F.col("rk_a") == F.col("rk_b")))
+        .select("key_a", "key_b", "name_a", "name_b")
+    )
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, {_EV_SEC} AS ts_sec FROM events)
+    SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id,
+           b.ts_sec - a.ts_sec AS gap_sec
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts_sec >= a.ts_sec AND b.ts_sec <= a.ts_sec + 300
+     AND a.event_id <> b.event_id
+    """,
+)
+def join_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join (#22): same-user event pairs within 5 minutes, via the
+    bucketized equi-join in asof.py (no nested loop)."""
+    ev = _events_sec(spark, sf_dir)
+    l = ev.select(F.col("event_id").alias("left_id"), "user_id", F.col("ts_sec"))
+    r = ev.select(F.col("event_id").alias("right_id"), "user_id", F.col("ts_sec").alias("rts_sec"))
+    out = range_join(l, r, on=["user_id"], left_ts="ts_sec", right_ts="rts_sec", width=F.lit(300))
+    return out.filter(F.col("left_id") != F.col("right_id")).select(
+        "left_id", "right_id", "user_id", (F.col("rts_sec") - F.col("ts_sec")).alias("gap_sec")
+    )
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, event_type, {_EV_SEC} AS ts_sec FROM events),
+    p AS (SELECT user_id, ts_sec AS pts, MAX(event_id) AS p_event_id
+          FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_sec),
+    l AS (SELECT event_id, user_id, ts_sec FROM ev WHERE event_type <> 'purchase')
+    SELECT l.event_id, l.user_id, l.ts_sec,
+           p.p_event_id AS r_p_event_id, p.pts AS r_pts
+    FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts_sec >= p.pts
+    """,
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (#23): each non-purchase event gets the user's most recent
+    purchase at-or-before it. Union+window formulation: one shuffle, no
+    pairwise join (asof.py)."""
+    ev = _events_sec(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_sec").alias("pts"))
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    l = ev.filter(F.col("event_type") != "purchase").select("event_id", "user_id", "ts_sec")
+    return asof_join(
+        l, p, on=["user_id"], left_ts="ts_sec", right_ts="pts",
+        right_cols=["p_event_id", "pts"],
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT r.r_name, c.c_mktsegment,
+           COUNT(*) AS line_cnt,
+           CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY r.r_name, c.c_mktsegment
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join + aggregate (#24) — the flagship query. Fact table
+    joins up the dimension chain; region/nation broadcast, revenue is an
+    exact decimal sum (compat.py)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.expr(f"CAST(SUM({REVENUE_EXPR}) AS DOUBLE)").alias("revenue"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Sort / limit / top-k / set operations (SURVEY.md §2.6 #39-42)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import T
+
+
+@query(
+    "sort_global",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal, s_nationkey,
+           ROW_NUMBER() OVER (ORDER BY s_acctbal DESC NULLS LAST, s_suppkey) AS pos
+    FROM supplier
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort (#39), made hash-observable by materializing
+    the position. A global ORDER BY is a range-partitioned sort in Spark;
+    the observable position here uses an unpartitioned window, which is
+    single-task — fine for a ranking of a small table, and the documented
+    anti-pattern for big ones (use zipWithIndex-free rank-per-partition or
+    keep the ordering implicit at scale)."""
+    w = Window.orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey"))
+    return (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT k (#40): plans as TakeOrderedAndProject — each
+    partition keeps its local top-k, the driver merges k*p rows; no global
+    sort ever happens. The scalable top-k."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, 'supplier' FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (#41): position-safe via unionByName, no shuffle at all."""
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (#41): union + distinct = one hash shuffle on all cols."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey % 97 AS bucket FROM customer
+    INTERSECT
+    SELECT o_custkey % 89 AS bucket FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (#42): plans as a left-semi join of distinct sets."""
+    a = T(spark, sf_dir, "customer").select((F.col("c_custkey") % 97).alias("bucket"))
+    b = T(spark, sf_dir, "orders").select((F.col("o_custkey") % 89).alias("bucket"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey % 97 AS bucket FROM customer
+    EXCEPT
+    SELECT o_custkey % 89 AS bucket FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (#42): plans as a left-anti join of distinct sets."""
+    a = T(spark, sf_dir, "customer").select((F.col("c_custkey") % 97).alias("bucket"))
+    b = T(spark, sf_dir, "orders").select((F.col("o_custkey") % 89).alias("bucket"))
+    return a.subtract(b)

@@ -1,0 +1,171 @@
+"""Window functions (SURVEY.md §2.5 #33-38).
+
+Every ORDER BY carries a unique tiebreaker (orderkey/event_id) so ranks and
+frames are total orders — without it row_number/lag are nondeterministic
+under ties and can never hash-match an oracle. Running sums accumulate in
+exact decimals (compat.py) before the final double cast.
+
+Scale note: a window is one shuffle on its partition key plus a per-group
+sort. None of these queries use an unpartitioned window except
+``sort_global`` (in sort_setops.py), which documents that caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import T
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank (#33). rank/dense_rank order by a
+    tied column (priority) — their values are deterministic under ties;
+    row_number gets the unique tiebreaker."""
+    o = T(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_rk = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        F.row_number().over(w_rn).alias("rn"),
+        F.rank().over(w_rk).alias("rk"),
+        F.dense_rank().over(w_rk).alias("drk"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (#34): rank + filter. Catalyst/AQE push the rn<=k
+    limit into the window sort (WindowGroupLimit), so each group only keeps
+    k rows through the shuffle — the scalable top-k idiom."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        T(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_sec
+                FROM events)
+    SELECT event_id, user_id, ts_sec,
+           ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS next_type
+    FROM ev
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead (#35): inter-event gaps per user, on epoch-second BIGINTs."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts_sec",
+        (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + moving average with ROWS frames (#36), decimal-exact."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mv = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(dec).over(mv).cast("double") / F.count("o_totalprice").over(mv)).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "win_ntile_cume",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS cume
+    FROM customer
+    """,
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist (#37) over a total order."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over a full-partition frame (#38)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

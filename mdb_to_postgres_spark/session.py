@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+One shared session per process: at bench scale (sf0.1) fixed overheads
+dominate, so every query reuses a single JVM/session (BASELINE.md tuning
+notes). The defaults here are chosen for local[N] testing but scale up
+unchanged: AQE handles partition coalescing and skew at any size, and the
+shuffle-partition count is a tunable, not a hardcode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: at local sf<=0.1 a small count avoids scheduling
+# overhead; on a real cluster this should be ~2-3x total cores or left to
+# AQE's coalescing (initialPartitionNum high, coalesce down).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def build_conf(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply engine defaults to a builder (also used by tests/bench)."""
+    return (
+        builder
+        # Adaptive execution: runtime re-planning, partition coalescing,
+        # skew-join splitting — required posture for the 100 TB design goal.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow for every Python<->JVM crossing (pandas_udf, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timezone so date/time functions match the DuckDB
+        # oracle regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Permissive casts (bad values -> NULL), mirroring the reference's
+        # tolerant mdb-export -> Postgres load path (SURVEY.md §2.2 #10).
+        .config("spark.sql.ansi.enabled", "false")
+    )
+
+
+def get_session(app_name: str = "mdb-to-postgres-spark") -> SparkSession:
+    """Create (or reuse) the configured local session."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    return build_conf(builder).getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally provided session.
+
+    The verification driver constructs its own SparkSession; static conf
+    (master, memory) is theirs, but runtime conf that affects result
+    determinism (timezone) and small-scale latency (AQE) is settable here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static in some builds; fine
+    return spark

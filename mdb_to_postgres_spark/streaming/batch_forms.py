@@ -1,0 +1,217 @@
+"""Batch-checkable forms of the streaming operators (SURVEY.md §2.8 #52-58).
+
+The same windowing expressions run under readStream in ``runtime.py``;
+here they run on the static events table so the DuckDB oracle can verify
+the window semantics exactly. Window boundaries are emitted as epoch-second
+BIGINTs: deterministic across engines and timestamp precisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import T
+
+_EV_SEC = "CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "events")
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT ({_EV_SEC} // 3600) * 3600 AS window_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (#52): F.window produces [start, end) struct;
+    emitted as epoch seconds. Streaming twin: runtime.tumbling_counts."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH ev AS (SELECT {_EV_SEC} AS ts_sec, event_type FROM events),
+    slid AS (
+      SELECT (ts_sec // 900) * 900 - 900 * UNNEST(range(4)) AS window_start, event_type
+      FROM ev
+    )
+    SELECT window_start, event_type, COUNT(*) AS event_cnt
+    FROM slid
+    WHERE window_start >= 0
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-min windows (#53): each event lands in 4 windows.
+    The oracle replicates F.window's start generation (slide-aligned)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "event_cnt",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, {_EV_SEC} AS ts_sec FROM events),
+    flagged AS (
+      SELECT user_id, ts_sec,
+             CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 1800
+                  OR LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sessions AS (
+      SELECT user_id, ts_sec,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_sec) AS session_start,
+           MAX(ts_sec) + 1800 AS session_end,
+           COUNT(*) AS event_cnt
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with 30-min gap (#54): F.session_window merges
+    events closer than the gap; end = last event + gap. The oracle is the
+    classic gaps-and-islands rewrite — exact equivalence. Streaming twin:
+    runtime.session_counts."""
+    e = _events(spark, sf_dir).withColumn("ts_s", F.to_timestamp(F.col("ts").cast("long")))
+    return (
+        e.groupBy(F.session_window("ts_s", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "event_cnt",
+        )
+    )
+
+
+@query(
+    "stream_watermark_late",
+    oracle=f"""
+    WITH mx AS (SELECT MAX({_EV_SEC}) AS max_sec FROM events),
+    kept AS (SELECT {_EV_SEC} AS ts_sec, event_type FROM events, mx
+             WHERE {_EV_SEC} >= mx.max_sec - 600)
+    SELECT (ts_sec // 60) * 60 AS minute_start, event_type, COUNT(*) AS event_cnt
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch approximation (#55): keep only events
+    within 10 minutes of the max timestamp, then window-aggregate. The true
+    late-data-drop behavior is exercised in runtime tests; this form pins
+    the arithmetic."""
+    e = _events(spark, sf_dir).select(F.col("ts").cast("long").alias("ts_sec"), "event_type")
+    mx = e.agg(F.max("ts_sec").alias("max_sec"))
+    kept = e.crossJoin(F.broadcast(mx)).filter(F.col("ts_sec") >= F.col("max_sec") - 600)
+    return (
+        kept.groupBy((F.floor(F.col("ts_sec") / 60) * 60).alias("minute_start"), "event_type")
+        .agg(F.count("*").alias("event_cnt"))
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, ({_EV_SEC} // 60) * 60 AS minute_start, event_id
+                FROM events)
+    SELECT user_id, event_type, minute_start,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS dup_cnt
+    FROM ev
+    GROUP BY user_id, event_type, minute_start
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-within-watermark, batch form (#56): deterministic keep-first
+    (min event_id) per (user, type, minute) key. The streaming twin uses
+    withWatermark + dropDuplicates on the same key."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        (F.floor(F.col("ts").cast("long") / 60) * 60).alias("minute_start"),
+        "event_id",
+    )
+    return e.groupBy("user_id", "event_type", "minute_start").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("dup_cnt"),
+    )
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           COUNT(DISTINCT event_type) AS distinct_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user counters, batch form (#57). The streaming twin
+    (runtime.stateful_user_counters) maintains the same counters with
+    applyInPandasWithState; converged state must equal this aggregate."""
+    return _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("event_cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.countDistinct("event_type").alias("distinct_types"),
+    )
+
+
+@query(
+    "stream_foreach_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS event_cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch sink round-trip (#58): run the real readStream with an
+    availableNow trigger, land per-type counts in a parquet sink via
+    foreachBatch, read the sink back. Result must equal the batch GROUP BY
+    — this is the one gate query that actually executes the streaming
+    engine."""
+    from .runtime import run_foreach_sink_counts
+
+    return run_foreach_sink_counts(spark, sf_dir)

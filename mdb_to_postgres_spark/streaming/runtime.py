@@ -1,0 +1,173 @@
+"""Real Structured Streaming implementations (SURVEY.md §2.8, E3 lifecycle).
+
+File-source micro-batches over the events parquet, availableNow triggers
+(bounded replay of everything, then stop), checkpointed sinks. At cluster
+scale the same code points readStream at a Kafka/file landing zone and
+drops availableNow for a continuous trigger — transformation bodies are
+shared with batch_forms.py by construction.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (explicit schema, required
+    for file streams and our extracted-schema discipline anyway)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet")
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of batch_forms.stream_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of batch_forms.stream_session_window."""
+    e = events.withColumn("ts_s", F.to_timestamp(F.col("ts").cast("long")))
+    return (
+        e.withWatermark("ts_s", watermark)
+        .groupBy(F.session_window("ts_s", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "event_cnt",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of batch_forms.stream_dedup: exactly-once by key
+    within the watermark horizon (state expires with the watermark)."""
+    e = events.withColumn(
+        "minute_start", (F.floor(F.col("ts").cast("long") / 60) * 60)
+    )
+    return e.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type", "minute_start"]
+    )
+
+
+def run_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a bounded stream (availableNow) into an in-memory sink and
+    return the final static result. Test harness helper."""
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream -> foreachBatch -> parquet sink round-trip (#58).
+
+    foreachBatch is the idempotent micro-batch sink adapter: in production
+    the body is a JDBC upsert (df.write.jdbc / MERGE); here it lands
+    per-type counts as parquet (overwrite per batch = complete-mode
+    idempotence) and the final sink contents are returned.
+    """
+    sink = tempfile.mkdtemp(prefix="sink_counts_")
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("event_cnt"))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_foreach_")
+    q = (
+        counts.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def stateful_user_counters(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (#57): per-user running counters via
+    applyInPandasWithState. State = (event_cnt, value_sum_cents) carried
+    across micro-batches; emits the updated counters each batch.
+
+    value_sum is accumulated in integer cents — exact, so the converged
+    state equals the batch GROUP BY (decimal-sum) result bit-for-bit.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_cnt", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(round(pdf["value"].sum() * 100))
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_cnt": [cnt], "value_sum": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

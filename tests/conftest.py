@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mdb_to_postgres_spark.session import build_conf  # noqa: E402
+
+SMOKE_SF = "/root/testdata/sf0.001"
+ORACLE_SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.master("local[4]").appName("mdb-spark-tests")
+    # Few shuffle partitions: test data is tiny, scheduling dominates.
+    s = build_conf(builder, shuffle_partitions=4).getOrCreate()
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{ORACLE_SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
