@@ -28,7 +28,7 @@ from ..sources.tables import T as tbl
     oracle="""
     SELECT doc_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
-           sha256(CAST(text AS BLOB)) AS content_sha256,
+           sha256(text) AS content_sha256,
            'text/plain' AS mime,
            lang AS meta_lang,
            source AS meta_source

@@ -50,8 +50,8 @@ def cosine(a: Column, b: Column) -> Column:
 # DuckDB twin of the fold above. list_reduce has no init; the implicit
 # first-element init equals Spark's 0.0+x first step for addition.
 _SQL_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p.list_1 AS DOUBLE) * CAST(p.list_2 AS DOUBLE)), (x, y) -> x + y)"
+    "list_reduce(list_transform(range(len({a})),"
+    " i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
 )
 _SQL_NORM = (
     "SQRT(list_reduce(list_transform({a},"

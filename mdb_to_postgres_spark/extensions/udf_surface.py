@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..sources.tables import T as tbl
+from ..sources.tables import events_ts
 
 
 @F.pandas_udf(T.DoubleType())
@@ -59,6 +60,13 @@ def _sum_cents(v: pd.Series) -> int:
     return int((v * 100).round().astype("int64").sum())
 
 
+@F.pandas_udf(T.LongType())
+def _count_rows(v: pd.Series) -> int:
+    # Pandas grouped-agg UDFs can't mix with builtin aggregates in one
+    # agg(); the count is a pandas UDF too.
+    return int(len(v))
+
+
 @query(
     "x_udf_grouped_agg",
     oracle="""
@@ -75,7 +83,7 @@ def x_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         _sum_cents(F.col("value")).alias("total_cents"),
-        F.count("*").alias("event_cnt"),
+        _count_rows(F.col("value")).alias("event_cnt"),
     )
 
 
@@ -104,9 +112,7 @@ def x_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (#67): per-user ordered sequencing in
     Python — the custom-sessionization slot. Deterministic sort keys make
     it equivalent to a window row_number."""
-    e = tbl(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").cast("long").alias("ts_sec")
-    )
+    e = events_ts(spark, sf_dir).select("user_id", "event_id", "ts_sec")
 
     def sequence_user(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_sec", "event_id"]).reset_index(drop=True)

@@ -28,7 +28,7 @@ from ..sources.tables import T
            LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
            REPLACE(c_name, 'Customer#', 'C-') AS name_replaced,
            REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS key_digits,
-           REGEXP_REPLACE(c_name, '[0]+', '') AS name_nozeros,
+           REGEXP_REPLACE(c_name, '[0]+', '', 'g') AS name_nozeros,
            CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_customer,
            SPLIT_PART(c_name, '#', 2) AS name_num_part
     FROM customer
@@ -58,14 +58,14 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_datetime",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS order_day,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
            EXTRACT(YEAR FROM o_orderdate) AS order_year,
            EXTRACT(MONTH FROM o_orderdate) AS order_month,
            EXTRACT(DAY FROM o_orderdate) AS order_dom,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
-           CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS order_quarter_start,
+           strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month_start,
+           strftime(DATE_TRUNC('quarter', o_orderdate), '%Y-%m-%d') AS order_quarter_start,
            DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
            DAYOFWEEK(o_orderdate) + 1 AS dow_sun1,
            CAST(FLOOR(EXTRACT(epoch FROM o_orderdate)) AS BIGINT) AS epoch_sec
     FROM orders
@@ -79,16 +79,16 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        d.cast("date").alias("order_day"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_day"),
         F.year(d).cast("long").alias("order_year"),
         F.month(d).cast("long").alias("order_month"),
         F.dayofmonth(d).cast("long").alias("order_dom"),
-        F.date_trunc("month", d).cast("date").alias("order_month_start"),
-        F.date_trunc("quarter", d).cast("date").alias("order_quarter_start"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("order_month_start"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("order_quarter_start"),
         F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).cast("long").alias("days_to_2002"),
-        F.add_months(d.cast("date"), 3).alias("plus_3_months"),
+        F.date_format(F.add_months(d.cast("date"), 3), "yyyy-MM-dd").alias("plus_3_months"),
         F.dayofweek(d).cast("long").alias("dow_sun1"),
-        d.cast("long").alias("epoch_sec"),
+        F.unix_timestamp(d).alias("epoch_sec"),
     )
 
 
@@ -227,8 +227,8 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_struct.orderkey AS orderkey,
            o_struct.price AS price,
-           o_map['status'] AS status_from_map,
-           o_map['priority'] AS priority_from_map
+           o_map['status'][1] AS status_from_map,
+           o_map['priority'][1] AS priority_from_map
     FROM s
     """,
 )

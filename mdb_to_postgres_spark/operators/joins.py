@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import REVENUE_EXPR
 from ..registry import query
-from ..sources.tables import T
+from ..sources.tables import T, events_ts
 from .asof import asof_join, range_join
 
 # Epoch-seconds view of events: all as-of/range logic runs on BIGINT
@@ -26,9 +26,7 @@ _EV_SEC = "CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)"
 
 
 def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
-    )
+    return events_ts(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_sec")
 
 
 @query(

@@ -42,9 +42,9 @@ def project_rename_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(l_linenumber AS BIGINT) AS linenumber_big,
            CAST(l_quantity AS INTEGER) AS quantity_int,
-           CAST(l_quantity AS DECIMAL(12,2)) AS quantity_dec,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity_dec,
            CAST(l_returnflag AS VARCHAR) AS returnflag_str,
-           CAST(l_shipdate AS DATE) AS ship_day,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
            TRY_CAST(l_linestatus AS INTEGER) AS bad_int
     FROM lineitem
     """,
@@ -58,9 +58,9 @@ def cast_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.col("l_linenumber").cast("bigint").alias("linenumber_big"),
         F.col("l_quantity").cast("int").alias("quantity_int"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("quantity_dec"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("double").alias("quantity_dec"),
         F.col("l_returnflag").cast("string").alias("returnflag_str"),
-        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.date_format(F.col("l_shipdate"), "yyyy-MM-dd").alias("ship_day"),
         F.col("l_linestatus").cast("int").alias("bad_int"),
     )
 

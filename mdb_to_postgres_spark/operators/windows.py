@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import T
+from ..sources.tables import T, events_ts
 
 
 @query(
@@ -81,9 +81,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead (#35): inter-event gaps per user, on epoch-second BIGINTs."""
-    ev = T(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
-    )
+    ev = events_ts(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_sec")
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     return ev.select(
         "event_id", "user_id", "ts_sec",

@@ -9,6 +9,7 @@ partitioned table directory with partition pruning intact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,12 +33,36 @@ ALWAYS_BROADCAST = ("region", "nation")
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table.
 
-    Sets the session timezone (runtime conf) so date/time results are
-    deterministic against the DuckDB oracle even when the caller built the
-    SparkSession without our factory.
+    Sets runtime conf needed for determinism against the DuckDB oracle
+    even when the caller built the SparkSession without our factory:
+    UTC timezone, and nanosecond parquet timestamps surfaced as BIGINT
+    nanos (Spark 4 refuses TIMESTAMP(NANOS) otherwise; the events table
+    carries one).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with usable time columns.
+
+    ``ts`` arrives as BIGINT nanoseconds (see T); this derives
+    - ``ts_sec``: epoch seconds (BIGINT) — the canonical deterministic
+      time axis for joins/windows (ns-vs-us precision never leaks), and
+    - ``ts``: a microsecond TimestampType for Spark time-window operators
+      (truncation, matching DuckDB's ns->us cast behavior).
+    """
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.expr("ts DIV 1000000000").alias("ts_sec"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

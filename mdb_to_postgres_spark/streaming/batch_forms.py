@@ -13,13 +13,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import T
+from ..sources.tables import events_ts
 
 _EV_SEC = "CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T(spark, sf_dir, "events")
+    return events_ts(spark, sf_dir)
 
 
 @query(
@@ -111,7 +111,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events closer than the gap; end = last event + gap. The oracle is the
     classic gaps-and-islands rewrite — exact equivalence. Streaming twin:
     runtime.session_counts."""
-    e = _events(spark, sf_dir).withColumn("ts_s", F.to_timestamp(F.col("ts").cast("long")))
+    e = _events(spark, sf_dir).withColumn("ts_s", F.to_timestamp(F.col("ts_sec")))
     return (
         e.groupBy(F.session_window("ts_s", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("event_cnt"))
@@ -140,7 +140,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 10 minutes of the max timestamp, then window-aggregate. The true
     late-data-drop behavior is exercised in runtime tests; this form pins
     the arithmetic."""
-    e = _events(spark, sf_dir).select(F.col("ts").cast("long").alias("ts_sec"), "event_type")
+    e = _events(spark, sf_dir).select(F.col("ts_sec"), "event_type")
     mx = e.agg(F.max("ts_sec").alias("max_sec"))
     kept = e.crossJoin(F.broadcast(mx)).filter(F.col("ts_sec") >= F.col("max_sec") - 600)
     return (
@@ -167,7 +167,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     withWatermark + dropDuplicates on the same key."""
     e = _events(spark, sf_dir).select(
         "user_id", "event_type",
-        (F.floor(F.col("ts").cast("long") / 60) * 60).alias("minute_start"),
+        (F.floor(F.col("ts_sec") / 60) * 60).alias("minute_start"),
         "event_id",
     )
     return e.groupBy("user_id", "event_type", "minute_start").agg(

@@ -9,6 +9,8 @@ shared with batch_forms.py by construction.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 import pandas as pd
@@ -16,10 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
+# File-stream schema: ts is BIGINT nanoseconds in the parquet (see
+# sources.tables.T); the reader converts to a microsecond timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,11 +36,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (explicit schema, required
     for file streams and our extracted-schema discipline anyway)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; stage the single-file
+    # table into one (per-sf cache). In production this is the landing
+    # directory micro-batches arrive in.
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache", tag, "events_stream_src",
     )
+    target = os.path.join(stage, "events.parquet")
+    if not os.path.exists(target):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copyfile(f"{sf_dir}/events.parquet", target)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -59,7 +73,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
 
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of batch_forms.stream_session_window."""
-    e = events.withColumn("ts_s", F.to_timestamp(F.col("ts").cast("long")))
+    e = events.withColumn("ts_s", F.to_timestamp(F.col("ts").cast("long")))  # second-truncated
     return (
         e.withWatermark("ts_s", watermark)
         .groupBy(F.session_window("ts_s", gap).alias("w"), "user_id")
