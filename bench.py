@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# sf0.1 is small: 8 shuffle partitions beat 32 on task-scheduling overhead
+# (AQE coalesces below this anyway). Respect an explicit override.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
 from mdb_to_postgres_spark import registry  # noqa: E402
 from mdb_to_postgres_spark.session import get_session  # noqa: E402
 

@@ -47,6 +47,72 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# -- fast path: unrolled fixed-dimension expressions ---------------------
+#
+# Higher-order functions (aggregate/transform) are CodegenFallback in
+# Spark: the lambda is interpreted per element, which made the all-pairs
+# query ~30x slower than necessary. For the known corpus dimensionality we
+# unroll the fold into a flat chain of products/adds that whole-stage
+# codegen compiles. Addition order is identical to DuckDB's
+# list_reduce (((t0+t1)+t2)+...), so results stay bit-deterministic.
+
+DIM = 64  # corpus embedding dimensionality (all scale factors)
+
+
+def dot_fixed(a: Column, b: Column, dim: int = DIM) -> Column:
+    out: Column | None = None
+    for i in range(dim):
+        term = a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        out = term if out is None else out + term
+    assert out is not None
+    return out
+
+
+def norm_fixed(a: Column, dim: int = DIM) -> Column:
+    out: Column | None = None
+    for i in range(dim):
+        term = a.getItem(i).cast("double") * a.getItem(i).cast("double")
+        out = term if out is None else out + term
+    assert out is not None
+    return F.sqrt(out)
+
+
+# Array getItem inside a hot join is ~10x slower than flat scalar columns
+# (measured at sf0.1: 39s -> 4s for the all-pairs query), so the pairwise
+# operators project the vector into DIM double columns before joining.
+# The single-file parquet also arrives as ONE partition — the stream side
+# of every pair join is repartitioned so the nested-loop parallelizes.
+
+
+def flat_emb(e: DataFrame, id_alias: str, prefix: str, dim: int = DIM) -> DataFrame:
+    """(id, <prefix>0..<prefix>{dim-1}, <prefix>norm) projection."""
+    cols = [
+        F.col("embedding").getItem(i).cast("double").alias(f"{prefix}{i}") for i in range(dim)
+    ]
+    sq: Column | None = None
+    for i in range(dim):
+        t = F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
+        sq = t if sq is None else sq + t
+    assert sq is not None
+    return e.select(F.col("vec_id").alias(id_alias), *cols).withColumn(
+        f"{prefix}norm", F.sqrt(sq)
+    )
+
+
+def dot_flat(pa: str, pb: str, dim: int = DIM) -> Column:
+    """Left-fold dot over flat columns — same add order as the oracle."""
+    out: Column | None = None
+    for i in range(dim):
+        t = F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+        out = t if out is None else out + t
+    assert out is not None
+    return out
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # DuckDB twin of the fold above. list_reduce has no init; the implicit
 # first-element init equals Spark's 0.0+x first step for addition.
 _SQL_DOT = (
@@ -80,11 +146,12 @@ def x_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine (#61) on a bounded slice (all unordered pairs
     of the first 200 vectors), thresholded."""
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    a = _parallelize(flat_emb(e, "vec_a", "a"))
+    b = flat_emb(e, "vec_b", "b")
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = dot_flat("a", "b") / (F.col("anorm") * F.col("bnorm"))
     return (
-        pairs.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") > 0.2)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -111,14 +178,10 @@ def x_sim_topk_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast of the (tiny) query side against every corpus partition —
     embarrassingly parallel at any corpus size."""
     e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
+    q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
+    c = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cos_sim", cosine(F.col("q_emb"), F.col("c_emb"))
+        "cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -159,16 +222,21 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (#62 scale path): vectors bucket by
     16-bit code; queries probe only their own bucket's candidates, then
     exact-rescore. Tests measure recall vs x_sim_topk_knn."""
-    e = T(spark, sf_dir, "embeddings")
+    e = _parallelize(T(spark, sf_dir, "embeddings"))
     coded = e.withColumn("code", _rhp_code(F.col("embedding")))
     q = coded.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "code"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "code",
+        norm_fixed(F.col("embedding")).alias("q_norm"),
     )
     c = coded.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "code"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "code",
+        norm_fixed(F.col("embedding")).alias("c_norm"),
     )
     cand = c.join(F.broadcast(q), "code")
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    scored = cand.withColumn(
+        "cos_sim",
+        dot_fixed(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -190,34 +258,46 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be laid out (one parquet partition per list)."""
     e = T(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"),
+        norm_fixed(F.col("embedding")).alias("cent_norm"),
     )
     # Assign every corpus vector to its nearest centroid.
-    corpus = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = _parallelize(e.filter(F.col("vec_id") >= 20)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        norm_fixed(F.col("embedding")).alias("c_norm"),
     )
     w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
     assigned = (
         corpus.crossJoin(F.broadcast(cent))
-        .withColumn("cent_sim", cosine(F.col("c_emb"), F.col("cent_emb")))
+        .withColumn(
+            "cent_sim",
+            dot_fixed(F.col("c_emb"), F.col("cent_emb")) / (F.col("c_norm") * F.col("cent_norm")),
+        )
         .withColumn("arn", F.row_number().over(w_assign))
         .filter(F.col("arn") == 1)
-        .select("neighbor_id", "c_emb", "centroid_id")
+        .select("neighbor_id", "c_emb", "c_norm", "centroid_id")
     )
     # Queries pick their nprobe closest centroids.
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        norm_fixed(F.col("embedding")).alias("q_norm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("cent_sim", cosine(F.col("q_emb"), F.col("cent_emb")))
+        .withColumn(
+            "cent_sim",
+            dot_fixed(F.col("q_emb"), F.col("cent_emb")) / (F.col("q_norm") * F.col("cent_norm")),
+        )
         .withColumn("prn", F.row_number().over(w_probe))
         .filter(F.col("prn") <= _NPROBE)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
     )
     cand = probes.join(assigned, "centroid_id")
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    scored = cand.withColumn(
+        "cos_sim",
+        dot_fixed(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -239,11 +319,12 @@ def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: unordered pairs above a
     0.95 threshold over the full embeddings table."""
     e = T(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    a = _parallelize(flat_emb(e, "vec_a", "a"))
+    b = flat_emb(e, "vec_b", "b")
+    cos = dot_flat("a", "b") / (F.col("anorm") * F.col("bnorm"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") > 0.95)
         .select("vec_a", "vec_b", "cos_sim")
     )
