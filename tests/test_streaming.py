@@ -1,0 +1,129 @@
+"""Streaming tests (SURVEY.md §5.2 item 5): every §2.8 operator replayed
+through the real micro-batch engine (availableNow) must equal its batch
+form; late-data watermark behavior exercised on hand-built input."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mdb_to_postgres_spark.registry import QUERIES, load_all
+from mdb_to_postgres_spark.streaming import runtime
+from tests.conftest import ORACLE_SF
+
+load_all()
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream_df = runtime.tumbling_counts(runtime.read_events_stream(spark, ORACLE_SF))
+    got = runtime.run_to_memory(spark, stream_df, "t_tumbling", "complete").toPandas()
+    want = QUERIES["stream_tumbling_window"](spark, ORACLE_SF).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_stream_session_equals_batch(spark):
+    stream_df = runtime.session_counts(runtime.read_events_stream(spark, ORACLE_SF))
+    got = runtime.run_to_memory(spark, stream_df, "t_session", "complete").toPandas()
+    want = (
+        QUERIES["stream_session_window"](spark, ORACLE_SF)
+        .select("user_id", "session_start", "session_end", "event_cnt")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_stream_dedup_equals_batch_keys(spark):
+    stream_df = runtime.dedup_stream(runtime.read_events_stream(spark, ORACLE_SF))
+    got = runtime.run_to_memory(spark, stream_df, "t_dedup", "append")
+    keys = got.select("user_id", "event_type", "minute_start").distinct()
+    want = (
+        QUERIES["stream_dedup"](spark, ORACLE_SF)
+        .select("user_id", "event_type", "minute_start")
+        .distinct()
+    )
+    assert keys.count() == got.count()  # exactly one survivor per key
+    assert keys.subtract(want).count() == 0 and want.subtract(keys).count() == 0
+
+
+def test_stream_stateful_counters_converge(spark):
+    try:
+        stream_df = runtime.stateful_user_counters(runtime.read_events_stream(spark, ORACLE_SF))
+        got = runtime.run_to_memory(spark, stream_df, "t_stateful", "update").toPandas()
+    except Exception as e:  # pragma: no cover - API availability guard
+        pytest.skip(f"applyInPandasWithState unavailable: {e}")
+    # Update-mode emits one row per (user, batch); the final state per user
+    # must equal the batch aggregate.
+    final = got.groupby("user_id").last().reset_index()
+    want = (
+        QUERIES["stream_stateful_count"](spark, ORACLE_SF)
+        .select("user_id", "event_cnt", "value_sum")
+        .toPandas()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.event_cnt_got == merged.event_cnt_want).all()
+    assert (abs(merged.value_sum_got - merged.value_sum_want) < 1e-9).all()
+
+
+def test_watermark_drops_late_rows(spark):
+    # Hand-built late-data scenario: batch 1 advances the watermark past
+    # batch 2's stale event; the stale event must not create/refresh a
+    # window in append-mode output.
+    src = tempfile.mkdtemp(prefix="late_src_")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")], "id: long, ts_s: string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b1.write.mode("overwrite").parquet(src + "/b1.parquet")
+    stream = (
+        spark.readStream.schema("id long, ts timestamp").parquet(src + "/*.parquet")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("ws"), "cnt")
+    )
+    # File sink: checkpoint-recoverable, so watermark state survives the
+    # restart between the two availableNow phases (memory sinks do not).
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="late_out_")
+
+    def run_phase():
+        q = (
+            stream.writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_phase()
+    # Phase 1: watermark advanced to 11:50, so the 10:00 window (ends
+    # 11:00) is closed and emitted with cnt=1.
+    first = spark.read.parquet(out_dir).collect()
+    ten_oclock = int(pd.Timestamp("2024-01-01 10:00:00").timestamp())
+    assert {(r.ws, r.cnt) for r in first} == {(ten_oclock, 1)}
+    # Phase 2: a late 10:30 event (behind the watermark) plus a fresh one.
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 10:30:00"), (4, "2024-01-01 12:05:00")], "id: long, ts_s: string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b2.write.mode("overwrite").parquet(src + "/b2.parquet")
+    run_phase()
+    final = spark.read.parquet(out_dir).collect()
+    # The late event must NOT re-open or re-emit the closed 10:00 window.
+    assert {(r.ws, r.cnt) for r in final} == {(ten_oclock, 1)}, final
+
+
+def test_foreach_sink_matches_batch(spark):
+    got = runtime.run_foreach_sink_counts(spark, ORACLE_SF).toPandas()
+    want = (
+        spark.read.parquet(f"{ORACLE_SF}/events.parquet")
+        .groupBy("event_type").agg(F.count("*").alias("event_cnt")).toPandas()
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
