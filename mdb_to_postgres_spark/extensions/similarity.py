@@ -191,51 +191,104 @@ def x_sim_topk_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 16  # one 16-bit LSH code per vector
+# Multi-table random-hyperplane LSH: L tables of k sign-bits each. A
+# candidate pair needs ALL k bits equal in at least ONE table — the
+# standard amplification that trades candidate-set size for recall. For a
+# structureless gaussian corpus (our worst case), k=6/L=8 keeps the
+# per-query candidate set at ~12% of the corpus while retaining useful
+# recall on the moderately-similar top neighbors.
+_L_TABLES = 8
+_K_PLANES = 6
 
 
-def _rhp_code(emb: Column) -> Column:
-    """Random-hyperplane code: bit p = sign of dot(v, h_p), hyperplanes
-    derived deterministically from xxhash64(plane, dim) — no stored model."""
-    bits = []
-    for p in range(_N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(emb) - 1),
-                    lambda i: (
-                        F.xxhash64(F.lit(f"plane{p}"), i).cast("double") / F.lit(float(2**63))
-                    ),
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
-    return sum(bits[1:], bits[0])
+def _hyperplanes(n_planes: int, dim: int = DIM) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes, generated driver-side once and
+    baked into the plan as literals (the 'stored model' is n*64 doubles —
+    nothing to ship to executors beyond the task binary). A seeded
+    Box-Muller over a 64-bit LCG keeps this dependency-free and identical
+    across runs/engines."""
+    import math
+
+    state = 0x2545F4914F6CDD1D
+    planes: list[list[float]] = []
+
+    def lcg() -> float:  # uniform in (0, 1)
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return ((state >> 11) + 1) / float(1 << 53)
+
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            u1, u2 = lcg(), lcg()
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
 
 
-@query("x_sim_ann_lsh")  # rows-only: hash-derived hyperplanes are engine-specific
+def _lsh_codes(e: DataFrame, id_col: str) -> DataFrame:
+    """(id, tbl, code) — one k-bit bucket code per hash table per vector.
+
+    The projection is a dense (batch x dim) @ (dim x L*k) matmul — exactly
+    the shape Arrow-batched numpy is built for, so this runs as
+    ``mapInPandas`` (one BLAS call per batch) instead of a Catalyst
+    expression tree. The expression-tree alternatives were measured and
+    rejected: per-element higher-order functions are interpreted
+    (CodegenFallback), and a 48x64-term literal tree stalls the driver for
+    tens of seconds inside Janino. Sign-bucketing needs no cross-engine
+    float determinism (rows-only op), so the BLAS summation order is fine."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplanes(_L_TABLES * _K_PLANES)
+    h_t = np.array(planes, dtype=np.float64).T  # dim x (L*k)
+    weights = (1 << np.arange(_K_PLANES, dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (emb @ h_t) > 0  # n x (L*k)
+            codes = bits.reshape(n, _L_TABLES, _K_PLANES) @ weights  # n x L
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), _L_TABLES),
+                    "tbl": np.tile(np.arange(_L_TABLES), n),
+                    "code": codes.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return e.select(F.col(id_col), "embedding").mapInPandas(
+        gen, schema=f"{id_col} long, tbl int, code long"
+    )
+
+
+@query("x_sim_ann_lsh")  # rows-only: random hyperplanes are engine-specific
 def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH (#62 scale path): vectors bucket by
-    16-bit code; queries probe only their own bucket's candidates, then
-    exact-rescore. Tests measure recall vs x_sim_topk_knn."""
-    e = _parallelize(T(spark, sf_dir, "embeddings"))
-    coded = e.withColumn("code", _rhp_code(F.col("embedding")))
-    q = coded.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "code",
-        norm_fixed(F.col("embedding")).alias("q_norm"),
+    """ANN via multi-table random-hyperplane LSH (#62 scale path): vectors
+    bucket by k-bit sign codes in L tables; a query rescores exactly only
+    the candidates colliding in >=1 table. Candidate generation is a thin
+    (query_id, neighbor_id) join — the 64-dim vectors never ride through
+    the bucket shuffle. Tests measure overlap vs x_sim_topk_knn."""
+    e = T(spark, sf_dir, "embeddings")
+    q_raw = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c_raw = _parallelize(
+        e.filter(F.col("vec_id") >= 20).select(F.col("vec_id").alias("neighbor_id"), "embedding")
     )
-    c = coded.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "code",
-        norm_fixed(F.col("embedding")).alias("c_norm"),
+    qf = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
+    cf = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    cand = (
+        _lsh_codes(c_raw, "neighbor_id")
+        .join(F.broadcast(_lsh_codes(q_raw, "query_id")), ["tbl", "code"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    cand = c.join(F.broadcast(q), "code")
-    scored = cand.withColumn(
-        "cos_sim",
-        dot_fixed(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+    scored = (
+        cf.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .withColumn("cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -257,46 +310,41 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     those. The inverted-list partitioning is exactly how a 100 TB corpus
     would be laid out (one parquet partition per list)."""
     e = T(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb"),
-        norm_fixed(F.col("embedding")).alias("cent_norm"),
+    cent = flat_emb(
+        e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
     )
-    # Assign every corpus vector to its nearest centroid.
-    corpus = _parallelize(e.filter(F.col("vec_id") >= 20)).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
-        norm_fixed(F.col("embedding")).alias("c_norm"),
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
-    assigned = (
+    corpus = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    # Assign every corpus vector to its nearest centroid. The assignment is
+    # computed THIN — (vector_id, centroid_id) only via max_by with a
+    # (sim, -id) tiebreak — then joined back, so the 65 double columns never
+    # ride through the aggregation shuffle. At 100 TB the inverted lists are
+    # exactly this thin table, partitioned by centroid_id.
+    cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
+    assigned_thin = (
         corpus.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "cent_sim",
-            dot_fixed(F.col("c_emb"), F.col("cent_emb")) / (F.col("c_norm") * F.col("cent_norm")),
+        .select("neighbor_id", "centroid_id", cent_sim.alias("cent_sim"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("nid"))
+            ).alias("centroid_id")
         )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("neighbor_id", "c_emb", "c_norm", "centroid_id")
     )
+    assigned = corpus.join(assigned_thin, "neighbor_id")
     # Queries pick their nprobe closest centroids.
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        norm_fixed(F.col("embedding")).alias("q_norm"),
-    )
+    q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
+    q_sim = dot_flat("q", "t") / (F.col("qnorm") * F.col("tnorm"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "cent_sim",
-            dot_fixed(F.col("q_emb"), F.col("cent_emb")) / (F.col("q_norm") * F.col("cent_norm")),
-        )
+        q.crossJoin(F.broadcast(cent.select("centroid_id", *[f"t{i}" for i in range(DIM)], "tnorm")))
+        .withColumn("cent_sim", q_sim)
         .withColumn("prn", F.row_number().over(w_probe))
         .filter(F.col("prn") <= _NPROBE)
-        .select("query_id", "q_emb", "q_norm", "centroid_id")
+        .select("query_id", *[f"q{i}" for i in range(DIM)], "qnorm", "centroid_id")
     )
-    cand = probes.join(assigned, "centroid_id")
+    cand = assigned.join(F.broadcast(probes), "centroid_id")
     scored = cand.withColumn(
-        "cos_sim",
-        dot_fixed(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        "cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -43,7 +43,16 @@ def build_conf(builder: SparkSession.Builder, shuffle_partitions: int | None = N
 def get_session(app_name: str = "mdb-to-postgres-spark") -> SparkSession:
     """Create (or reuse) the configured local session."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # local[N] packs N executor threads into the driver JVM; the 1g
+        # default heap starves broadcast builds and hash aggs long before
+        # the 32 threads do. Static conf: applies only when this factory
+        # actually launches the JVM (no-op via getOrCreate on a live one).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+    )
     return build_conf(builder).getOrCreate()
 
 

@@ -30,8 +30,16 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+# Per-session caches. spark.read.parquet costs a driver<->JVM roundtrip to
+# read the footer schema on EVERY call; a real engine resolves scans against
+# a catalog (metastore) instead of re-deriving the schema per query. Keyed by
+# applicationId so a fresh SparkContext never sees stale plans.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CONF_DONE: set[str] = set()
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one corpus table.
+    """Scan one corpus table (catalog-cached per session).
 
     Sets runtime conf needed for determinism against the DuckDB oracle
     even when the caller built the SparkSession without our factory:
@@ -39,9 +47,16 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos (Spark 4 refuses TIMESTAMP(NANOS) otherwise; the events table
     carries one).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    if app not in _CONF_DONE:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _CONF_DONE.add(app)
+    key = (app, sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = _DF_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
