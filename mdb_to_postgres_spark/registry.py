@@ -62,6 +62,7 @@ def load_all() -> None:
         sort_setops,
     )
     from .functions import scalar_families  # noqa: F401
+    from .sources import jdbc_queries  # noqa: F401
     from .streaming import batch_forms  # noqa: F401
     from .extensions import (  # noqa: F401
         dedup,
