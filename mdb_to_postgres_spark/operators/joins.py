@@ -103,6 +103,24 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM orders o RIGHT JOIN customer c
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (#17) — mirror of join_left with the build/stream
+    sides swapped (Spark plans it as a left join with sides flipped; the
+    declared form exercises the planner's side-swap)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000)
+    return o.join(c, cond, "right").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
     "join_full",
     oracle="""
     SELECT a.c_custkey AS left_key, a.c_acctbal, b.o_custkey AS right_key, b.order_cnt

@@ -70,6 +70,7 @@ def load_all() -> None:
         text_analysis,
         multimodal,
         udf_surface,
+        pipeline,
     )
 
     _LOADED = True
