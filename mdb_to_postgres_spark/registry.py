@@ -60,6 +60,7 @@ def load_all() -> None:
         aggregates,
         windows,
         sort_setops,
+        skew,
     )
     from .functions import scalar_families  # noqa: F401
     from .sources import jdbc_queries  # noqa: F401
