@@ -61,6 +61,7 @@ def load_all() -> None:
         windows,
         sort_setops,
         skew,
+        physical,
     )
     from .functions import scalar_families  # noqa: F401
     from .sources import jdbc_queries  # noqa: F401

@@ -85,3 +85,21 @@ def test_no_python_udf_in_relational_tier(spark):
     for name in ("agg_groupby", "join_multiway_star", "win_rank", "fn_string", "fn_datetime"):
         plan = explain_str(QUERIES[name](spark, ORACLE_SF))
         assert "Python" not in plan, (name, plan)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    plan = QUERIES["join_bucketed_colocated"](spark, ORACLE_SF)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan  # co-located buckets: no shuffle at all
+
+
+def test_partition_pruning_reaches_planning_time(spark):
+    df = QUERIES["scan_partition_pruned"](spark, ORACLE_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan
+    # the o_orderstatus filter must be a PartitionFilter (directory prune),
+    # not a per-row DataFilter after reading everything
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "PartitionFilters: [" in plan
+    pf_seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in pf_seg, pf_seg
