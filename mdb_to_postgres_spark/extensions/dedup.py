@@ -261,3 +261,73 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_COMPONENTS_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(l) - 2),
+               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+        FROM toks WHERE len(l) >= 3
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) >= 0.35
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+    SELECT c.doc_id, c.component_id, s.component_size
+    FROM comp c
+    JOIN (SELECT component_id, COUNT(*) AS component_size FROM comp
+          GROUP BY component_id) s USING (component_id)
+"""
+
+
+@query("x_dedup_components", oracle=_COMPONENTS_ORACLE)
+def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise matches into dedup clusters (keep component_id, drop
+    the rest). Iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Each round is one distributed join+groupBy;
+    ``localCheckpoint`` cuts the lineage so plans stay O(1) per round (at
+    100 TB this is the alternating large/small-star pattern; diameters of
+    near-dup clusters are tiny). The DuckDB oracle computes the same
+    closure with a recursive CTE — exact match."""
+    pairs = x_dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(20):
+        prop = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        if new_labels.agg(F.sum("label")).collect()[0][0] == labels.agg(
+            F.sum("label")
+        ).collect()[0][0]:
+            labels = new_labels
+            break
+        labels = new_labels
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
+    return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")

@@ -103,3 +103,14 @@ def test_fingerprint_is_order_sensitive(spark):
     fp = F.aggregate(tokval, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % 1000000007)
     out = {r.doc_id: r.f for r in df.select("doc_id", fp.alias("f")).collect()}
     assert out[1] != out[2]
+
+
+def test_components_contain_every_pair(spark):
+    pairs = QUERIES["x_dedup_near_jaccard"](spark, ORACLE_SF).toPandas()
+    comp = QUERIES["x_dedup_components"](spark, ORACLE_SF).toPandas()
+    label = dict(zip(comp.doc_id, comp.component_id))
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert label[a] == label[b], (a, b)
+    # component_id is the min doc_id of its members
+    by_comp = comp.groupby("component_id").doc_id.min()
+    assert (by_comp.index == by_comp.values).all()
