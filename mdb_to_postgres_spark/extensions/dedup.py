@@ -315,19 +315,18 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):
         prop = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
-        new_labels = (
+        labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        if new_labels.agg(F.sum("label")).collect()[0][0] == labels.agg(
-            F.sum("label")
-        ).collect()[0][0]:
-            labels = new_labels
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == cur_sum:  # min-labels are monotone; equal sum = fixpoint
             break
-        labels = new_labels
+        cur_sum = new_sum
     comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")
