@@ -64,6 +64,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     determinism (timezone) and small-scale latency (AQE) is settable here.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")  # permissive tier-R casts
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

@@ -51,6 +51,11 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if app not in _CONF_DONE:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Permissive casts are tier-R semantics (bad value -> NULL, like the
+        # reference's tolerant load) and several queries rely on them.
+        # Spark 4 defaults ANSI on, and the verification driver builds its
+        # own session — so pin it here, not only in our session factory.
+        spark.conf.set("spark.sql.ansi.enabled", "false")
         _CONF_DONE.add(app)
     key = (app, sf_dir, name)
     df = _DF_CACHE.get(key)
