@@ -185,3 +185,63 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_user_counters_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` form of #57 — the successor
+    API to applyInPandasWithState: an object-style StatefulProcessor with
+    named state (value/list/map), timers, and TTL support. Requires the
+    RocksDB state-store provider (the 100 TB state backend anyway);
+    callers set ``spark.sql.streaming.stateStore.providerClass``.
+
+    Same semantics as stateful_user_counters: per-user (count, exact
+    cents sum) carried across micro-batches.
+
+    NOTE: the TWS driver worker imports google.protobuf; on images where
+    protobuf is absent/broken the query fails at initialization
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) — the test suite
+    skips in that case and applyInPandasWithState remains the working
+    stateful path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_cnt", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+
+    class Counters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counters", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                cents += int(round(pdf["value"].sum() * 100))
+            self._state.update((cnt, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "event_cnt": [cnt], "value_sum": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counters(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

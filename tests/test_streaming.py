@@ -127,3 +127,36 @@ def test_foreach_sink_matches_batch(spark):
         .groupBy("event_type").agg(F.count("*").alias("event_cnt")).toPandas()
     )
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_stream_stateful_tws_converges(spark):
+    """transformWithStateInPandas (Spark 4 stateful API) must converge to
+    the same per-user counters as the batch aggregate and the
+    applyInPandasWithState form."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream_df = runtime.stateful_user_counters_tws(
+            runtime.read_events_stream(spark, ORACLE_SF)
+        )
+        got = runtime.run_to_memory(spark, stream_df, "t_tws", "update").toPandas()
+    except Exception as e:  # pragma: no cover - API availability guard
+        pytest.skip(f"transformWithStateInPandas unavailable: {e}")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = got.groupby("user_id").last().reset_index()
+    want = (
+        QUERIES["stream_stateful_count"](spark, ORACLE_SF)
+        .select("user_id", "event_cnt", "value_sum")
+        .toPandas()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.event_cnt_got == merged.event_cnt_want).all()
+    assert (abs(merged.value_sum_got - merged.value_sum_want) < 1e-9).all()
