@@ -74,8 +74,8 @@ def create_table_ddl(schema: T.StructType, table: str) -> str:
 
 
 def _psql_shell(sql: str, dbname: str) -> str:
-    """The shell command ``su -c`` runs — SQL safely single-quoted."""
-    return f"psql -d {dbname} -v ON_ERROR_STOP=1 -At -c {shlex.quote(sql)}"
+    """The shell command ``su -c`` runs — SQL and dbname safely quoted."""
+    return f"psql -d {shlex.quote(dbname)} -v ON_ERROR_STOP=1 -At -c {shlex.quote(sql)}"
 
 
 def run_psql(sql: str, dbname: str = "postgres") -> str:
@@ -97,6 +97,9 @@ def _copy_text(value, dt: T.DataType) -> str:
         return "\\N"
     if isinstance(dt, T.BooleanType):
         return "t" if value else "f"
+    if isinstance(dt, T.BinaryType):
+        # bytea hex input is "\x<hex>"; COPY text needs the backslash escaped
+        return "\\\\x" + bytes(value).hex()
     s = str(value)
     return (
         s.replace("\\", "\\\\")
@@ -130,15 +133,17 @@ def copy_into_postgres(
             cwd="/",
         )
         assert proc.stdin is not None
-        wrote = False
-        for row in rows:
-            wrote = True
-            proc.stdin.write(
-                "\t".join(_copy_text(row[i], dt) for i, (_, dt) in enumerate(fields)) + "\n"
-            )
-        proc.stdin.write("\\.\n")
-        proc.stdin.close()
-        if proc.wait() != 0 and wrote:
-            raise RuntimeError(f"COPY stream failed: {proc.stderr.read()}")
+        try:
+            for row in rows:
+                proc.stdin.write(
+                    "\t".join(_copy_text(row[i], dt) for i, (_, dt) in enumerate(fields)) + "\n"
+                )
+            proc.stdin.write("\\.\n")
+            proc.stdin.close()
+        except BrokenPipeError:
+            pass  # psql died mid-stream; fall through to report ITS error
+        if proc.wait() != 0:
+            err = proc.stderr.read() if proc.stderr else ""
+            raise RuntimeError(f"COPY stream failed: {err}")
 
     df.foreachPartition(load_partition)

@@ -316,7 +316,8 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
     cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):
+    max_rounds = 50
+    for rounds in range(1, max_rounds + 1):
         prop = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
@@ -327,6 +328,12 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == cur_sum:  # min-labels are monotone; equal sum = fixpoint
             break
         cur_sum = new_sum
+    else:  # never silently return split components on a deep chain graph
+        raise RuntimeError(
+            f"component propagation did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the bound; raise max_rounds or switch "
+            "to large/small-star doubling)"
+        )
     comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")

@@ -42,8 +42,9 @@ from .dedup import _shingles
     """,
 )
 def x_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split (~95/5/5) by md5 of the document
-    id. Hash-based membership is stable under corpus growth and engine
+    """Deterministic train/val/test split (~90/5/5: hex prefixes below
+    0x0d test, below 0x1a val, rest train) by md5 of the document id.
+    Hash-based membership is stable under corpus growth and engine
     changes — the reason production pipelines never use RNG splits."""
     d = T(spark, sf_dir, "documents")
     hb = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)

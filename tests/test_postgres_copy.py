@@ -96,3 +96,23 @@ def test_full_pipeline_shape(spark):
     assert pgc.run_psql('SELECT "n_name" FROM "nation_pipeline_test" WHERE "n_nationkey" = 0') == src.filter(
         F.col("n_nationkey") == 0
     ).collect()[0].n_name
+
+
+def test_copy_binary_bytea(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01\xffabc")), (2, None)], "id int, blob binary"
+    )
+    pgc.copy_into_postgres(df, "bytea_copy_test")
+    assert pgc.run_psql('SELECT COUNT(*) FROM "bytea_copy_test"') == "2"
+    got = pgc.run_psql("SELECT encode(\"blob\", 'hex') FROM \"bytea_copy_test\" WHERE \"id\" = 1")
+    assert got == b"\x00\x01\xffabc".hex()
+    assert pgc.run_psql('SELECT COUNT(*) FROM "bytea_copy_test" WHERE "blob" IS NULL') == "1"
+
+
+def test_copy_failure_surfaces_psql_error(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "id int").repartition(1)
+    with _pytest.raises(Exception) as ei:
+        pgc.copy_into_postgres(df, "no_such_table_xyz", create=False)
+    assert "COPY stream failed" in str(ei.value) or "does not exist" in str(ei.value)

@@ -133,6 +133,10 @@ def test_stream_stateful_tws_converges(spark):
     """transformWithStateInPandas (Spark 4 stateful API) must converge to
     the same per-user counters as the batch aggregate and the
     applyInPandasWithState form."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("TWS driver worker needs google.protobuf (absent/broken in this image)")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -143,8 +147,10 @@ def test_stream_stateful_tws_converges(spark):
             runtime.read_events_stream(spark, ORACLE_SF)
         )
         got = runtime.run_to_memory(spark, stream_df, "t_tws", "update").toPandas()
-    except Exception as e:  # pragma: no cover - API availability guard
-        pytest.skip(f"transformWithStateInPandas unavailable: {e}")
+    except Exception as e:  # pragma: no cover - environment guard ONLY
+        if "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in str(e):
+            pytest.skip(f"TWS runner failed to initialize: {str(e)[:200]}")
+        raise  # real regressions in the TWS path must FAIL, not skip
     finally:
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
