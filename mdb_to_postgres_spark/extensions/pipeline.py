@@ -143,3 +143,86 @@ def x_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= 2)
     )
+
+
+@query(
+    "x_pipeline_end_to_end",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, n_chars,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, text, n_chars FROM toks
+      WHERE len(toks) BETWEEN 20 AND 2000
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.1
+    ),
+    deduped AS (
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    split AS (
+      SELECT doc_id, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM deduped
+    ),
+    packed AS (
+      SELECT split, doc_id, est_tokens,
+             CAST(COALESCE(SUM(est_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_BUDGET} AS BIGINT) AS pack_id
+      FROM split
+    )
+    SELECT split, COUNT(*) AS docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS est_tokens,
+           COUNT(DISTINCT pack_id) AS n_packs,
+           MIN(doc_id) AS min_doc_id
+    FROM packed GROUP BY split
+    """,
+)
+def x_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline, composed end-to-end as ONE
+    declarative plan: quality gate (token count + type-token ratio) ->
+    exact dedup (keep lowest doc_id per content hash) -> hash-based
+    train/val/test split -> per-split token-budget packing -> per-split
+    rollup. Five stages, zero driver-side loops; Catalyst fuses the
+    narrow stages and the only shuffles are the dedup window, the pack
+    prefix-sum (per-split), and the final rollup — the same three a
+    100 TB run needs."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    gated = d.select("doc_id", "text", "n_chars", n_tok.alias("nt"), ttr.alias("ttr")).filter(
+        F.col("nt").between(20, 2000) & (F.col("ttr") > 0.1)
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup)).filter(F.col("rn") == 1)
+    ).select("doc_id", "n_chars")
+    hb = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = deduped.select(
+        "doc_id",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"),
+        F.when(hb < "0d", F.lit("test")).when(hb < "1a", F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+    w_pack = Window.partitionBy("split").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = split.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("est_tokens").over(w_pack), F.lit(0)) / _PACK_BUDGET).cast("long"),
+    )
+    return packed.groupBy("split").agg(
+        F.count("*").alias("docs"),
+        F.sum("est_tokens").cast("long").alias("est_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
