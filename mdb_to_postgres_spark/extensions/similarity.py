@@ -380,3 +380,69 @@ def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") > 0.95)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+_KMEANS_ITERS = 2
+
+
+def _assign_thin(corpus: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """(id, centroid_id) nearest-centroid assignment — thin max_by, no
+    vector columns through the shuffle (same shape as x_sim_ann_ivf)."""
+    sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(id_col, "centroid_id", sim.alias("cent_sim"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("nid"))
+            ).alias("centroid_id")
+        )
+    )
+
+
+@query("x_sim_ann_ivf_kmeans")  # rows-only: probe pruning is an approximation
+def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids (#62 scale path, trained variant):
+    the seed centroids of x_sim_ann_ivf are improved with k-means
+    iterations — assign (thin max_by) then recompute each centroid as the
+    member mean (64 column AVGs) — before building the inverted lists.
+    Each iteration is one broadcast-crossjoin + two aggregations; the
+    iterative structure is exactly how MLlib's KMeans maps to DataFrames.
+    Deterministic: seeded init, fixed iteration count, argmax tiebreak by
+    centroid id."""
+    e = T(spark, sf_dir, "embeddings")
+    corpus = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    cent = flat_emb(e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t")
+    for _ in range(_KMEANS_ITERS):
+        assigned = _assign_thin(corpus, cent, "neighbor_id")
+        members = corpus.join(assigned, "neighbor_id")
+        means = members.groupBy("centroid_id").agg(
+            *[F.avg(f"c{i}").alias(f"t{i}") for i in range(DIM)]
+        )
+        sq: Column | None = None
+        for i in range(DIM):
+            t_ = F.col(f"t{i}") * F.col(f"t{i}")
+            sq = t_ if sq is None else sq + t_
+        assert sq is not None
+        cent = means.withColumn("tnorm", F.sqrt(sq)).localCheckpoint()
+    assigned = corpus.join(_assign_thin(corpus, cent, "neighbor_id"), "neighbor_id")
+    q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
+    q_sim = dot_flat("q", "t") / (F.col("qnorm") * F.col("tnorm"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", q_sim)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= _NPROBE)
+        .select("query_id", *[f"q{i}" for i in range(DIM)], "qnorm", "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").withColumn(
+        "cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

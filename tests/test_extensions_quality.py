@@ -32,11 +32,13 @@ def test_minhash_lsh_recall_vs_exact(spark):
 def test_ann_lsh_overlaps_exact_knn(spark):
     exact = QUERIES["x_sim_topk_knn"](spark, ORACLE_SF).toPandas()
     ann = QUERIES["x_sim_ann_lsh"](spark, ORACLE_SF).toPandas()
-    # ANN is allowed to miss, but what it returns must be real vectors
-    # scored identically: join on (query, neighbor) and compare cos_sim.
+    # Multi-table LSH must produce real candidates for most queries even on
+    # a structureless corpus (8 tables x 6 bits => ~12% collision rate).
+    assert ann.query_id.nunique() >= 15, ann.query_id.nunique()
+    # What it returns must be real vectors scored identically to exact KNN.
     merged = ann.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_ann", "_exact"))
-    if len(merged):
-        assert (abs(merged.cos_sim_ann - merged.cos_sim_exact) < 1e-12).all()
+    assert len(merged) > 0
+    assert (abs(merged.cos_sim_ann - merged.cos_sim_exact) < 1e-12).all()
 
 
 def test_ann_ivf_recall(spark):
@@ -114,3 +116,20 @@ def test_components_contain_every_pair(spark):
     # component_id is the min doc_id of its members
     by_comp = comp.groupby("component_id").doc_id.min()
     assert (by_comp.index == by_comp.values).all()
+
+
+def test_ann_ivf_kmeans_recall(spark):
+    exact = QUERIES["x_sim_topk_knn"](spark, ORACLE_SF).toPandas()
+    ivf = QUERIES["x_sim_ann_ivf_kmeans"](spark, ORACLE_SF).toPandas()
+    exact_top1 = exact[exact.rn == 1][["query_id", "neighbor_id"]]
+    ivf_sets = ivf.groupby("query_id").neighbor_id.apply(set)
+    hits = sum(
+        1 for _, row in exact_top1.iterrows()
+        if row.neighbor_id in ivf_sets.get(row.query_id, set())
+    )
+    assert hits / len(exact_top1) >= 0.4, hits
+    # determinism: seeded init + fixed iterations + id tiebreaks
+    again = QUERIES["x_sim_ann_ivf_kmeans"](spark, ORACLE_SF).toPandas()
+    a = ivf.sort_values(["query_id", "rn"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rn"]).reset_index(drop=True)
+    assert a.equals(b)
