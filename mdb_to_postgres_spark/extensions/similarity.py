@@ -412,7 +412,12 @@ def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: seeded init, fixed iteration count, argmax tiebreak by
     centroid id."""
     e = T(spark, sf_dir, "embeddings")
-    corpus = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    # corpus feeds every Lloyd round plus the final assignment/rescore —
+    # materialize the flat projection once instead of re-deriving 64
+    # getItem casts from parquet per use.
+    corpus = _parallelize(
+        flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c")
+    ).localCheckpoint()
     cent = flat_emb(e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t")
     for _ in range(_KMEANS_ITERS):
         assigned = _assign_thin(corpus, cent, "neighbor_id")
