@@ -215,3 +215,75 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runtime import run_foreach_sink_counts
 
     return run_foreach_sink_counts(spark, sf_dir)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (#58b): each micro-batch joins
+    against a static (broadcastable) dim table — the canonical streaming
+    enrichment shape. Batch form groups the enriched stream per
+    (segment, type); streaming twin: runtime.static_join_counts."""
+    from ..sources.tables import T
+
+    e = _events(spark, sf_dir)
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+_SS_BAND_SEC = 600  # purchase within 10 minutes after a click, same user
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           ({_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')}) AS gap_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND {_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')} <= {_SS_BAND_SEC}
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (#58c): clicks matched to same-user
+    purchases within 10 minutes — the attribution-join shape. In
+    streaming this needs watermarks on BOTH sides plus the time-range
+    predicate so state can be expired; the batch form is the same plan
+    minus watermarks. Streaming twin: runtime.click_purchase_join."""
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts_sec").alias("a_sec"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts_sec").alias("b_sec"),
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_sec") >= F.col("a_sec"))
+        & (F.col("b_sec") - F.col("a_sec") <= _SS_BAND_SEC),
+    )
+    return joined.select(
+        "click_id", "purchase_id", (F.col("b_sec") - F.col("a_sec")).alias("gap_sec")
+    )

@@ -245,3 +245,46 @@ def stateful_user_counters_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def static_join_counts(spark: SparkSession, events: DataFrame, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment twin of batch_forms.stream_static_join:
+    each micro-batch joins the (static, broadcast) customer dim."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    )
+    return (
+        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str, band_sec: int = 600) -> DataFrame:
+    """Stream-stream interval join twin of batch_forms.stream_stream_join:
+    two independent file streams (clicks, purchases) with watermarks on
+    both sides + the time-range predicate — the state-expiry contract a
+    stream-stream join requires."""
+    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", "30 minutes")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", "30 minutes")
+    joined = clicks.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {band_sec} SECONDS")),
+    )
+    gap = (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_sec")
+    return joined.select("click_id", "purchase_id", gap)

@@ -166,3 +166,19 @@ def test_stream_stateful_tws_converges(spark):
     assert len(merged) == len(want)
     assert (merged.event_cnt_got == merged.event_cnt_want).all()
     assert (abs(merged.value_sum_got - merged.value_sum_want) < 1e-9).all()
+
+
+def test_stream_static_join_equals_batch(spark):
+    stream_df = runtime.static_join_counts(
+        spark, runtime.read_events_stream(spark, ORACLE_SF), ORACLE_SF
+    )
+    got = runtime.run_to_memory(spark, stream_df, "t_static_join", "complete").toPandas()
+    want = QUERIES["stream_static_join"](spark, ORACLE_SF).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_stream_stream_join_equals_batch(spark):
+    stream_df = runtime.click_purchase_join(spark, ORACLE_SF)
+    got = runtime.run_to_memory(spark, stream_df, "t_ss_join", "append").toPandas()
+    want = QUERIES["stream_stream_join"](spark, ORACLE_SF).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
