@@ -82,3 +82,17 @@ def full_table_copy(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.save(dst_path)
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Latest-wins merge of a change set into a base table (§2.1 #4 re-run
+    semantics): rows sharing ``key`` are replaced by the change-set row,
+    chosen by the highest ``order_col`` (change priority). One window over
+    the union — shuffles once on the key, no driver-side diffing. At sink
+    time this is what ``foreachBatch`` + MERGE INTO would do inside the
+    database; doing it relationally keeps the copy idempotent."""
+    from pyspark.sql.window import Window
+
+    u = base.unionByName(changes)
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return u.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

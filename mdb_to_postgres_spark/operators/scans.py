@@ -131,3 +131,41 @@ def extract_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name: string, column_name: string, spark_type: string, postgres_type: string"
     )
+
+
+@query(
+    "etl_incremental_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, 0 AS change_seq FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, 1 AS change_seq
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY change_seq DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, change_seq
+    FROM merged WHERE rn = 1
+    """,
+)
+def etl_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-copy as a latest-wins merge (#4 re-run semantics):
+    a deterministic synthetic change set (every 10th order repriced +100.00, an exact double op)
+    merged into the base copy; changed keys take the change-set row,
+    unchanged keys keep the base row. etl.pipeline.merge_upsert."""
+    from ..etl.pipeline import merge_upsert
+    from pyspark.sql import functions as F2
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    base = o.withColumn("change_seq", F2.lit(0))
+    changes = (
+        o.filter(F2.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F2.col("o_totalprice") + 100.0)
+        .withColumn("change_seq", F2.lit(1))
+    )
+    return merge_upsert(base, changes, "o_orderkey", "change_seq")
