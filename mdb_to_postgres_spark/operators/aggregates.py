@@ -200,3 +200,47 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CORR).alias("corr_price_custkey"),
         F.median("o_totalprice").alias("median_price"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS sum_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT / conditional aggregation: order counts by priority x status.
+
+    Pivot values are given EXPLICITLY — ``pivot(col)`` without values runs an
+    extra distinct job over the fact table to discover them, a full scan a
+    100 TB deployment should never pay for a 3-value status column. With
+    explicit values the whole query is one two-phase HashAggregate (the
+    pivot lowers to exactly the FILTER-style conditional aggregates the
+    oracle spells out). Missing combinations surface as NULL from pivot but
+    0 from COUNT FILTER, so both count and sum are coalesced to 0.
+    """
+    p = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O_n"), zero).alias("n_open"),
+        F.coalesce(F.col("F_n"), zero).alias("n_filled"),
+        F.coalesce(F.col("P_n"), zero).alias("n_partial"),
+        F.coalesce(F.col("O_s"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double").alias("sum_open"),
+    )

@@ -309,3 +309,30 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(SUM({REVENUE_EXPR}) AS DOUBLE)").alias("revenue"),
         )
     )
+
+
+_SUBQ_CORR_SQL = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM {customer} c
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+          (SELECT COUNT(*) FROM {customer} c2
+           WHERE c2.c_nationkey = c.c_nationkey)
+        > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM {customer} c2
+           WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@query("subquery_scalar_corr", oracle=_SUBQ_CORR_SQL.format(customer="customer"))
+def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: customers above their nation's mean
+    balance, written as SQL so Catalyst's decorrelation does the work —
+    RewriteCorrelatedScalarSubquery turns each per-row subquery into ONE
+    grouped aggregate joined back on the correlation key (test_plans
+    asserts: Aggregate + join, no per-row re-execution, no cartesian).
+
+    Determinism: the mean comparison avoids division entirely
+    (balance * count > sum, all exact DECIMAL), so the threshold is
+    bit-identical across engines — no float-summation-order hazard.
+    """
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(_SUBQ_CORR_SQL.format(customer="customer_v"))

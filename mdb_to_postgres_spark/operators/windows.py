@@ -121,6 +121,45 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_range_frame",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day_num,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders)
+    SELECT o_custkey, o_orderkey, day_num,
+           CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day_num
+                                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_31d,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_31d
+    FROM o
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (#36): 31-day rolling spend per customer.
+
+    The frame is defined on the ORDER BY *value* (epoch-day int), so same-day
+    orders are peers and the result is tie-insensitive by construction — no
+    tiebreaker needed, unlike ROWS frames. Decimal-exact sum, double at the
+    boundary. Scale: one shuffle on o_custkey + per-group sort; the sliding
+    frame is computed incrementally per partition, never materializing the
+    window contents.
+    """
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("day_num"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey", "day_num",
+        F.sum("price").over(w).cast("double").alias("spend_31d"),
+        F.count(F.lit(1)).over(w).alias("n_31d"),
+    )
+
+
+@query(
     "win_ntile_cume",
     oracle="""
     SELECT c_custkey, c_acctbal,

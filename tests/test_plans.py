@@ -5,6 +5,8 @@ pair joins parallelize."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from mdb_to_postgres_spark.plans.inspect import (
@@ -103,3 +105,34 @@ def test_partition_pruning_reaches_planning_time(spark):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "PartitionFilters: [" in plan
     pf_seg = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "o_orderstatus" in pf_seg, pf_seg
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """subquery_scalar_corr: Catalyst must rewrite both per-row scalar
+    subqueries into grouped aggregates joined back on the correlation key —
+    no nested-loop re-execution, no cartesian product."""
+    load_all()
+    plan = explain_str(QUERIES["subquery_scalar_corr"](spark, ORACLE_SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # the decorrelated per-nation aggregate
+    assert "Join" in plan  # joined back, not re-executed per row
+
+
+def test_pivot_is_single_aggregate_pass(spark):
+    """agg_pivot with explicit values: one two-phase HashAggregate over one
+    scan — no extra distinct job to discover pivot values, no second scan
+    of the fact table."""
+    load_all()
+    plan = explain_str(QUERIES["agg_pivot"](spark, ORACLE_SF))
+    # formatted explain prints each node twice (tree + details); count the
+    # numbered detail headers so one physical node counts once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_range_frame_single_shuffle(spark):
+    """win_range_frame: exactly one Exchange (the o_custkey hash partition)
+    feeds the window sort — the frame itself adds no extra shuffle."""
+    load_all()
+    plan = explain_str(QUERIES["win_range_frame"](spark, ORACLE_SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
