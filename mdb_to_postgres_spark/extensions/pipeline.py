@@ -226,3 +226,56 @@ def x_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pack_id").alias("n_packs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "x_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+    """,
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing: keep
+    ~12.5% of dominant-language docs (hex band < '20') and ~50% of the
+    rest (< '80'), by md5 of the stable doc id — the same no-RNG
+    discipline as x_dataset_split, so membership is reproducible across
+    runs, engines, and corpus growth (a row's fate never depends on what
+    other rows exist).
+
+    Scale: a narrow map-side filter — no shuffle, no sampleBy() RNG state,
+    trivially pushable behind any scan. Per-stratum rates are data (the
+    CASE), extendable to a broadcast-joined rate table.
+    """
+    d = T(spark, sf_dir, "documents")
+    hb = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate_band = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    return d.filter(hb < rate_band).select("doc_id", "lang", "source")
+
+
+@query(
+    "x_mix_weighted_repeat",
+    oracle="""
+    SELECT doc_id, lang, UNNEST(generate_series(1,
+        CASE WHEN lang = 'en' THEN 1 ELSE 3 END)) AS copy_idx
+    FROM documents
+    """,
+)
+def x_mix_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing by integer upsampling: non-dominant languages
+    are replicated 3x (epoch-style oversampling), dominant kept at 1x.
+    explode(sequence(1, w)) emits copy_idx so downstream shuffling/packing
+    can treat copies as distinct rows.
+
+    Scale: generator-based replication is NARROW — each task expands its
+    own rows, nothing shuffles; contrast with a join against a
+    weights-expanded table, which would. Real pipelines put per-source
+    weights in a small broadcast dim; the CASE here is that dim inlined.
+    """
+    d = T(spark, sf_dir, "documents")
+    w = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(3))
+    return d.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), w)).alias("copy_idx")
+    ).withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
