@@ -244,3 +244,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O_s"), F.lit(0).cast("decimal(18,2)"))
         .cast("double").alias("sum_open"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    WITH d AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+    SELECT c_nationkey,
+           STRING_AGG(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS n_segments
+    FROM d
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG / LISTAGG: distinct market segments per nation, joined in
+    sorted order. collect_list order is partition-arrival nondeterministic,
+    so the list is array_sort'ed before concat — the only way a string
+    aggregation can ever hash-match across engines (same reason the oracle
+    carries ORDER BY inside STRING_AGG).
+
+    Scale: distinct + collect per group are one shuffle each on the group
+    key; per-group lists here are bounded (≤5 segments) — unbounded-list
+    collects at 100 TB need the top-k/window forms instead.
+    """
+    d = T(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    return d.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_mktsegment"))).alias("segments"),
+        F.count("*").alias("n_segments"),
+    )
