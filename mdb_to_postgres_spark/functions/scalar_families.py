@@ -311,3 +311,39 @@ def fn_hash_impl_specific(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("text").cast("binary")).alias("text_crc32"),
         F.monotonically_increasing_id().alias("synthetic_id"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           ~o_orderkey AS flipped
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (#45 cont.): AND/OR/XOR/shifts/NOT on BIGINT keys —
+    the flag-mask and hash-mixing primitives (salting, band assembly).
+    Dialect traps encoded in the oracle, not the engine: Spark SQL ``^`` is
+    bitwise XOR but DuckDB ``^`` is exponentiation (its XOR is ``xor()``);
+    and ``<<`` diverges off the happy path — Spark wraps like Java
+    (``shiftleft(-7, 2) = -28``, silent overflow wrap) while DuckDB RAISES
+    on negative or overflowing left shifts. This query stays on
+    non-negative bounded keys where both agree; AND/OR/XOR/``~``/``>>``
+    agree on negatives (two's complement, arithmetic right shift)."""
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.expr("~o_orderkey").alias("flipped"),
+    )
