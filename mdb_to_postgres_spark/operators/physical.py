@@ -95,6 +95,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_status_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders directory-partitioned by o_orderstatus (once per sf)."""
+    path = _cache_dir(sf_dir, "orders_by_status")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            T(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+            .write.partitionBy("o_orderstatus")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
 @query(
     "scan_partition_pruned",
     oracle="""
@@ -106,14 +120,44 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-partitioned scan with planning-time pruning (#74): only
     the o_orderstatus=F directory is read. Plan test asserts the filter
     lands in PartitionFilters, not in a post-scan Filter."""
-    path = _cache_dir(sf_dir, "orders_by_status")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            T(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-            .write.partitionBy("o_orderstatus")
-            .mode("overwrite")
-            .parquet(path)
-        )
+    path = _ensure_status_partitioned(spark, sf_dir)
     df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "join_dpp_pruned",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus
+    FROM orders o
+    JOIN (VALUES ('O', false), ('F', true), ('P', false)) d(status, is_terminal)
+      ON o.o_orderstatus = d.status
+    WHERE d.is_terminal
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (#74b): the partition filter is not known
+    until runtime — it comes from the dim side of the join (statuses whose
+    is_terminal flag passes the dim filter). Catalyst injects a
+    DynamicPruningExpression subquery into the fact scan's
+    PartitionFilters, reusing the dim's broadcast, so only matching status
+    directories are ever opened (plan-asserted).
+
+    This is THE mechanism that makes star-schema scans over date- or
+    status-partitioned 100 TB facts affordable when the predicate lives on
+    the dimension ("orders in terminal states", "sales in fiscal Q4"). The
+    dim is written to parquet first: DPP keys off a file-source join, not
+    a LocalRelation.
+    """
+    fact_path = _ensure_status_partitioned(spark, sf_dir)
+    dim_path = _cache_dir(sf_dir, "status_dim")
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        spark.createDataFrame(
+            [("O", False), ("F", True), ("P", False)],
+            "status: string, is_terminal: boolean",
+        ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("is_terminal"))
+    return fact.join(dim, fact.o_orderstatus == dim.status).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )

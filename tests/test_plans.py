@@ -136,3 +136,12 @@ def test_range_frame_single_shuffle(spark):
     load_all()
     plan = explain_str(QUERIES["win_range_frame"](spark, ORACLE_SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_dpp_injects_dynamic_pruning(spark):
+    """join_dpp_pruned: the fact scan's partition filter must be a runtime
+    DynamicPruningExpression fed by the dim join — not a static literal,
+    not a post-scan row filter."""
+    load_all()
+    plan = explain_str(QUERIES["join_dpp_pruned"](spark, ORACLE_SF))
+    assert "dynamicpruning" in plan.lower()
