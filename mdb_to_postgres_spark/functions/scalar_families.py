@@ -169,9 +169,11 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1] AS first_elem,
-           list_slice(embedding, 1, 4) AS head4,
-           list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2.0) AS head4_doubled,
-           list_filter(list_slice(embedding, 1, 8), x -> x > 0) AS head8_positive,
+           list_reduce(list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)),
+                       (acc, x) -> acc + x) AS head4_sum,
+           list_reduce(list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2.0),
+                       (acc, x) -> acc + x) AS head4_doubled_sum,
+           len(list_filter(list_slice(embedding, 1, 8), x -> x > 0)) AS head8_positive_cnt,
            list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (acc, x) -> acc + x) AS elem_sum
     FROM embeddings
     WHERE vec_id < 100
@@ -180,21 +182,26 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (#47): size/index/slice/transform/filter/aggregate over
     the embedding column. The fold runs left-to-right on both engines, so
-    double accumulation is bit-identical."""
+    double accumulation is bit-identical. Every array intermediate is reduced
+    to a scalar before output: the comparison harness canonicalizes rows with
+    a pandas sort, which cannot order raw list values (round-1 agg_collect
+    failure), so list columns must never appear in a checked result."""
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     emb = F.col("embedding")
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         emb.getItem(0).alias("first_elem"),
-        F.slice(emb, 1, 4).alias("head4"),
-        F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double") * 2.0).alias("head4_doubled"),
-        F.filter(F.slice(emb, 1, 8), lambda x: x > 0).alias("head8_positive"),
-        F.aggregate(
-            F.transform(emb, lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("elem_sum"),
+        fold_sum(F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double"))).alias("head4_sum"),
+        fold_sum(
+            F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double") * 2.0)
+        ).alias("head4_doubled_sum"),
+        F.size(F.filter(F.slice(emb, 1, 8), lambda x: x > 0)).alias("head8_positive_cnt"),
+        fold_sum(F.transform(emb, lambda x: x.cast("double"))).alias("elem_sum"),
     )
 
 

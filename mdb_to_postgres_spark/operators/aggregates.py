@@ -146,7 +146,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+           STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
            COUNT(*) AS cust_cnt
     FROM customer
     GROUP BY c_nationkey
@@ -154,9 +154,12 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group set assembly (#31). collect_set is unordered by nature, so
-    determinism comes from array_sort on the result."""
+    determinism comes from array_sort on the result; the sorted array is
+    serialized through concat_ws because the comparison harness canonicalizes
+    rows with a pandas sort, which cannot order raw Python lists (round-1
+    driver failure: `TypeError: unhashable type: 'list'`)."""
     return T(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
         F.count("*").alias("cust_cnt"),
     )
 

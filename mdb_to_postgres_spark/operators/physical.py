@@ -130,34 +130,38 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus
     FROM orders o
-    JOIN (VALUES ('O', false), ('F', true), ('P', false)) d(status, is_terminal)
+    JOIN (VALUES ('O', 'open'), ('F', 'terminal'), ('P', 'open')) d(status, lifecycle)
       ON o.o_orderstatus = d.status
-    WHERE d.is_terminal
+    WHERE d.lifecycle = 'terminal'
     """,
 )
 def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning (#74b): the partition filter is not known
     until runtime — it comes from the dim side of the join (statuses whose
-    is_terminal flag passes the dim filter). Catalyst injects a
-    DynamicPruningExpression subquery into the fact scan's
-    PartitionFilters, reusing the dim's broadcast, so only matching status
-    directories are ever opened (plan-asserted).
+    lifecycle is 'terminal'). Catalyst injects a DynamicPruningExpression
+    subquery into the fact scan's PartitionFilters, reusing the dim's
+    broadcast, so only matching status directories are ever opened
+    (plan-asserted).
 
     This is THE mechanism that makes star-schema scans over date- or
     status-partitioned 100 TB facts affordable when the predicate lives on
-    the dimension ("orders in terminal states", "sales in fiscal Q4"). The
-    dim is written to parquet first: DPP keys off a file-source join, not
-    a LocalRelation.
+    the dimension ("orders in terminal states", "sales in fiscal Q4"). Two
+    shape requirements, both load-bearing: the dim is parquet, not a
+    LocalRelation (DPP keys off a file-source join), and the dim predicate
+    is a binary comparison (`lifecycle = 'terminal'`) — Catalyst's
+    isLikelySelective() does not count a bare boolean attribute as a
+    selective filter, so a `WHERE is_terminal` dim would never trigger
+    insertion (round-1 red test).
     """
     fact_path = _ensure_status_partitioned(spark, sf_dir)
-    dim_path = _cache_dir(sf_dir, "status_dim")
+    dim_path = _cache_dir(sf_dir, "status_dim_v2")
     if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
         spark.createDataFrame(
-            [("O", False), ("F", True), ("P", False)],
-            "status: string, is_terminal: boolean",
+            [("O", "open"), ("F", "terminal"), ("P", "open")],
+            "status: string, lifecycle: string",
         ).write.mode("overwrite").parquet(dim_path)
     fact = spark.read.parquet(fact_path)
-    dim = spark.read.parquet(dim_path).filter(F.col("is_terminal"))
+    dim = spark.read.parquet(dim_path).filter(F.col("lifecycle") == "terminal")
     return fact.join(dim, fact.o_orderstatus == dim.status).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )

@@ -33,7 +33,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             # bit-exact float repr
             return v.hex()
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "[" + ",".join(norm_cell(x) for x in v) + "]"
+            # The driver's canonicalizer sort_values() dies on list cells
+            # (round-1 agg_collect: TypeError unhashable type 'list'), so an
+            # oracle-checked query must never emit one — fail loudly here
+            # instead of silently normalizing and diverging from the driver.
+            raise AssertionError(
+                "list-valued cell in oracle-checked result; serialize with "
+                "concat_ws/array_sort (see agg_collect)"
+            )
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
         if hasattr(v, "isoformat"):
@@ -65,8 +72,20 @@ def _assert_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) ->
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(name, spark, duck):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     fn = registry.QUERIES[name]
-    spark_pdf = fn(spark, ORACLE_SF).toPandas()
+    df = fn(spark, ORACLE_SF)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: oracle-checked query returns complex-typed columns "
+        f"{complex_cols}; the driver canonicalizer cannot sort them"
+    )
+    spark_pdf = df.toPandas()
     duck_pdf = duck.execute(registry.ORACLES[name]).fetchdf()
     _assert_match(name, spark_pdf, duck_pdf)
 
