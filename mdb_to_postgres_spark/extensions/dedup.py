@@ -27,9 +27,16 @@ def _TOKS() -> "F.Column":  # lazy: Column creation needs an active SparkContext
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per doc."""
+    """(doc_id, shingle) — distinct word n-gram shingles per doc.
+
+    Docs with fewer than n tokens are dropped BEFORE the window transform:
+    without the guard, size(toks)-n goes negative, sequence() produces a
+    descending range, and slice(toks, 0, n) raises (SQL arrays are
+    1-indexed) — so one short document would crash every shingle-based
+    query. Mirrors the `len(l) >= n` guard every DuckDB oracle carries."""
     return (
         df.select("doc_id", _TOKS().alias("toks"))
+        .filter(F.size("toks") >= n)
         .select(
             "doc_id",
             F.explode(

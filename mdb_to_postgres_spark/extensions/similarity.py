@@ -260,11 +260,13 @@ def _lsh_codes(e: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    # Few, large Arrow batches: code generation is one BLAS call per batch,
-    # so 4 fat partitions beat 32 slivers (Python worker spin-up dominates
-    # at small row counts; at 100 TB the input arrives already-partitioned
-    # and this repartition is a no-op coalesce).
-    return e.select(F.col(id_col), "embedding").coalesce(4).mapInPandas(
+    # Parallelism follows the input partitioning: at toy scale the single
+    # parquet file arrives as 1-2 fat partitions (one BLAS call each, no
+    # Python-worker fan-out), at 100 TB it arrives as thousands of file
+    # splits and the signature stage scales out with them. Round 1 had a
+    # hard `.coalesce(4)` here — coalesce only ever REDUCES partition
+    # count, so that capped the stage at 4 tasks at ANY corpus size.
+    return e.select(F.col(id_col), "embedding").mapInPandas(
         gen, schema=f"{id_col} long, tbl int, code long"
     )
 
@@ -278,8 +280,8 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket shuffle. Tests measure overlap vs x_sim_topk_knn."""
     e = T(spark, sf_dir, "embeddings")
     q_raw = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
-    c_raw = _parallelize(
-        e.filter(F.col("vec_id") >= 20).select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    c_raw = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     qf = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
     cf = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
@@ -364,13 +366,18 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} > 0.95
+    WHERE a.vec_id < 400 AND b.vec_id < 400
+      AND {_sql_cosine('a.embedding', 'b.embedding')} > 0.95
     """,
 )
 def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: unordered pairs above a
-    0.95 threshold over the full embeddings table."""
-    e = T(spark, sf_dir, "embeddings")
+    0.95 threshold, as the EXACT baseline on a bounded slice (first 400
+    vectors — constant cost at every scale factor). All-pairs over the full
+    corpus is O(n^2) and can never run at 100 TB; the production near-dup
+    paths are the banded ones (x_dedup_minhash_lsh, x_dedup_simhash,
+    x_sim_ann_ivf), which this query exists to validate against."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
     a = _parallelize(flat_emb(e, "vec_a", "a"))
     b = flat_emb(e, "vec_b", "b")
     cos = dot_flat("a", "b") / (F.col("anorm") * F.col("bnorm"))

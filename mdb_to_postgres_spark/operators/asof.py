@@ -36,21 +36,29 @@ def asof_join(
 
     Implementation: tag and union both sides, then one window pass per key
     ordered by (ts, side) with the right side sorting before coincident
-    left rows, so ties match (>= semantics). ``last(ignorenulls=True)``
-    carries the most recent right payload forward.
+    left rows, so ties match (>= semantics). The whole right payload is
+    packed into ONE struct column and carried with ``last(ignorenulls)`` —
+    carrying each payload column independently would fill a legitimately
+    NULL field from an OLDER right row while other fields come from the
+    newest, stitching values of different rows together. The struct is
+    non-null for every right row (even when all its fields are null), so
+    it also gives ``how='inner'`` a correct matched/unmatched signal.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    r_struct_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_cols])
     l = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in lcols],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     u = l.unionByName(r)
     w = (
@@ -61,16 +69,15 @@ def asof_join(
     carried = u.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out = carried.filter(F.col("__side") == 1).drop("__side")
-    out = out.select(
-        *[F.col(c) for c in lcols],
-        *[F.col(f"__r_{c}").alias(f"r_{c}") for c in right_cols],
-    )
     if how == "inner":
-        out = out.filter(F.col(f"r_{right_cols[0]}").isNotNull())
-    return out
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__r").getField(c).alias(f"r_{c}") for c in right_cols],
+    )
 
 
 def range_join(

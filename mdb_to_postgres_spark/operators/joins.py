@@ -172,13 +172,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (#19): customers with no orders."""
+    """Left-anti join (#19): customers with no order above 300k. The
+    threshold makes the result non-empty at every sf (every customer has
+    SOME order in this corpus, so an unfiltered anti-join returns 0 rows
+    on both engines — a vacuous hash-match that proves nothing about
+    anti-join semantics)."""
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

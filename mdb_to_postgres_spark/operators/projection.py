@@ -41,7 +41,7 @@ def project_rename_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            CAST(l_linenumber AS BIGINT) AS linenumber_big,
-           CAST(l_quantity AS INTEGER) AS quantity_int,
+           CAST(TRUNC(l_quantity) AS INTEGER) AS quantity_int,
            CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity_dec,
            CAST(l_returnflag AS VARCHAR) AS returnflag_str,
            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
@@ -52,7 +52,11 @@ def project_rename_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cast_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §1.2 cast matrix in action (#10): widen/narrow numerics, exact
     decimal, timestamp->date, and a permissive bad-value cast ('O'/'F' as
-    INTEGER -> NULL, matching TRY_CAST)."""
+    INTEGER -> NULL, matching TRY_CAST). The double->int oracle wraps
+    TRUNC() because Spark's cast truncates toward zero while DuckDB's
+    rounds half-to-even — identical on this corpus's integral quantities,
+    silently divergent on any fractional value, so the truncation is made
+    explicit rather than fixture-dependent."""
     li = T(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

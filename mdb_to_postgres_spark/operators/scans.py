@@ -29,6 +29,14 @@ def _cache_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_CACHE, tag, name)
 
 
+def _cache_complete(path: str) -> bool:
+    """A cached artifact counts only with its _SUCCESS marker: a run that
+    died mid-write leaves a partial directory that a bare exists() check
+    would silently serve as complete, corrupting every oracle comparison
+    that reads it back."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 @query("scan_parquet", oracle="SELECT * FROM region")
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar file scan (#6): the base access path for every query."""
@@ -54,7 +62,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     StructType (extracted-schema discipline, never inference-on-read).
     """
     path = _cache_dir(sf_dir, "nation_csv")
-    if not os.path.exists(path):
+    if not _cache_complete(path):
         tbl(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     return spark.read.csv(path, schema=_NATION_SCHEMA, header=True)
 
@@ -64,7 +72,7 @@ def full_table_copy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed 1:1 copy (#4), the reference's flagship op: scan -> columnar
     sink -> scan of the sink must be indistinguishable from the source."""
     path = _cache_dir(sf_dir, "customer_copy")
-    if not os.path.exists(path):
+    if not _cache_complete(path):
         tbl(spark, sf_dir, "customer").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -75,7 +83,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is the 100 TB layout primitive: downstream filters on the
     partition key prune whole directories."""
     path = _cache_dir(sf_dir, "orders_by_priority")
-    if not os.path.exists(path):
+    if not _cache_complete(path):
         tbl(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(path)
@@ -86,7 +94,18 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "o_orderdate", "o_orderpriority")
 
 
-@query("list_tables")  # rows-only: catalog contents aren't a DuckDB view
+@query(
+    "list_tables",
+    # The corpus catalog is fixed (TESTDATA.md: same 10 tables at every
+    # sf), so the oracle is a literal — this pins the MSys* filtering and
+    # the name set rather than restating a computation.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('customer'), ('documents'), ('embeddings'), ('events'), ('lineitem'),
+      ('nation'), ('orders'), ('part'), ('region'), ('supplier')
+    ) t(table_name)
+    """,
+)
 def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enumerate user tables (#2) — the reference's `mdb-tables -1`, which
     filters JET system tables (MSys*). Modeled over the file catalog."""
@@ -98,7 +117,69 @@ def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "table_name: string")
 
 
-@query("extract_schema")  # rows-only: schema metadata, not table data
+@query(
+    "extract_schema",
+    # Literal oracle: the translated catalog is deterministic (identical
+    # schemas at every sf), so the 51 expected (table, column, spark type,
+    # postgres type) rows are pinned — a regression in the §1.2 type map
+    # (e.g. double no longer mapping to DOUBLE PRECISION) now hash-fails
+    # instead of passing a bare row-count check.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('region', 'r_regionkey', 'int', 'INTEGER'),
+      ('region', 'r_name', 'string', 'TEXT'),
+      ('nation', 'n_nationkey', 'int', 'INTEGER'),
+      ('nation', 'n_name', 'string', 'TEXT'),
+      ('nation', 'n_regionkey', 'int', 'INTEGER'),
+      ('customer', 'c_custkey', 'bigint', 'BIGINT'),
+      ('customer', 'c_name', 'string', 'TEXT'),
+      ('customer', 'c_nationkey', 'int', 'INTEGER'),
+      ('customer', 'c_acctbal', 'double', 'DOUBLE PRECISION'),
+      ('customer', 'c_mktsegment', 'string', 'TEXT'),
+      ('supplier', 's_suppkey', 'bigint', 'BIGINT'),
+      ('supplier', 's_name', 'string', 'TEXT'),
+      ('supplier', 's_nationkey', 'int', 'INTEGER'),
+      ('supplier', 's_acctbal', 'double', 'DOUBLE PRECISION'),
+      ('part', 'p_partkey', 'bigint', 'BIGINT'),
+      ('part', 'p_name', 'string', 'TEXT'),
+      ('part', 'p_brand', 'string', 'TEXT'),
+      ('part', 'p_type', 'string', 'TEXT'),
+      ('part', 'p_size', 'int', 'INTEGER'),
+      ('part', 'p_retailprice', 'double', 'DOUBLE PRECISION'),
+      ('orders', 'o_orderkey', 'bigint', 'BIGINT'),
+      ('orders', 'o_custkey', 'bigint', 'BIGINT'),
+      ('orders', 'o_orderstatus', 'string', 'TEXT'),
+      ('orders', 'o_totalprice', 'double', 'DOUBLE PRECISION'),
+      ('orders', 'o_orderdate', 'timestamp_ntz', 'TIMESTAMP'),
+      ('orders', 'o_orderpriority', 'string', 'TEXT'),
+      ('lineitem', 'l_orderkey', 'bigint', 'BIGINT'),
+      ('lineitem', 'l_partkey', 'bigint', 'BIGINT'),
+      ('lineitem', 'l_suppkey', 'bigint', 'BIGINT'),
+      ('lineitem', 'l_linenumber', 'int', 'INTEGER'),
+      ('lineitem', 'l_quantity', 'double', 'DOUBLE PRECISION'),
+      ('lineitem', 'l_extendedprice', 'double', 'DOUBLE PRECISION'),
+      ('lineitem', 'l_discount', 'double', 'DOUBLE PRECISION'),
+      ('lineitem', 'l_tax', 'double', 'DOUBLE PRECISION'),
+      ('lineitem', 'l_returnflag', 'string', 'TEXT'),
+      ('lineitem', 'l_linestatus', 'string', 'TEXT'),
+      ('lineitem', 'l_shipdate', 'timestamp_ntz', 'TIMESTAMP'),
+      ('events', 'event_id', 'bigint', 'BIGINT'),
+      ('events', 'ts', 'bigint', 'BIGINT'),
+      ('events', 'user_id', 'bigint', 'BIGINT'),
+      ('events', 'event_type', 'string', 'TEXT'),
+      ('events', 'value', 'double', 'DOUBLE PRECISION'),
+      ('events', 'props', 'string', 'TEXT'),
+      ('documents', 'doc_id', 'bigint', 'BIGINT'),
+      ('documents', 'text', 'string', 'TEXT'),
+      ('documents', 'lang', 'string', 'TEXT'),
+      ('documents', 'source', 'string', 'TEXT'),
+      ('documents', 'n_chars', 'bigint', 'BIGINT'),
+      ('embeddings', 'vec_id', 'bigint', 'BIGINT'),
+      ('embeddings', 'embedding', 'array<float>', 'JSONB'),
+      ('embeddings', 'label', 'int', 'INTEGER')
+    ) t(table_name, column_name, spark_type, postgres_type)
+    """,
+)
 def extract_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema extraction + translation (#3) — the reference's
     `mdb-schema db.mdb postgres`. Emits (column, spark_type, postgres_type)

@@ -56,17 +56,31 @@ def get_session(app_name: str = "mdb-to-postgres-spark") -> SparkSession:
     return build_conf(builder).getOrCreate()
 
 
+_TUNED_APPS: set[str] = set()
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally provided session.
 
     The verification driver constructs its own SparkSession; static conf
     (master, memory) is theirs, but runtime conf that affects result
-    determinism (timezone) and small-scale latency (AQE) is settable here.
+    determinism (timezone, ANSI mode) and small-scale latency (AQE, shuffle
+    partition count — Spark's 200 default costs ~1-2 s of pure task
+    scheduling PER QUERY at sf0.01) is settable here. Called by every
+    registered query via the registry wrapper, memoized per application so
+    the conf RPCs happen once per session.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _TUNED_APPS:
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")  # permissive tier-R casts
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     except Exception:
         pass  # static in some builds; fine
+    _TUNED_APPS.add(app_id)
     return spark

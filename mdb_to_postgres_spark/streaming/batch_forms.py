@@ -87,6 +87,10 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT user_id, {_EV_SEC} AS ts_sec FROM events),
     flagged AS (
       SELECT user_id, ts_sec,
+             -- Strict >: verified empirically — Spark merges an event at
+             -- EXACTLY previous_ts+gap into the running session (touching
+             -- candidate ranges [ts, ts+gap) merge), so only a gap
+             -- strictly greater than the timeout starts a new session.
              CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 1800
                   OR LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
                   THEN 1 ELSE 0 END AS new_session

@@ -48,7 +48,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(stage, "events.parquet")
     if not os.path.exists(target):
         os.makedirs(stage, exist_ok=True)
-        shutil.copyfile(f"{sf_dir}/events.parquet", target)
+        # temp + atomic rename: a copy that dies mid-write must never leave
+        # a partial file that later runs read as the complete table. The
+        # temp lives OUTSIDE the watched directory so the file-stream
+        # source can never glob it.
+        tmp = os.path.join(os.path.dirname(stage), "events_stream_src.parquet.tmp")
+        shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
+        os.replace(tmp, target)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

@@ -10,7 +10,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mdb_to_postgres_spark.session import build_conf  # noqa: E402
 
 SMOKE_SF = "/root/testdata/sf0.001"
-ORACLE_SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# Default to the driver's correctness scale factor (sf0.01) so local green
+# predicts driver green — round 1 ran parity at sf0.001 and let an
+# sf-dependent failure through. Override for quick iteration:
+# SPARK_GRAFT_TEST_SF=/root/testdata/sf0.001 python -m pytest ...
+ORACLE_SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -68,3 +68,44 @@ def test_range_join_no_duplicate_pairs(spark):
     right = spark.createDataFrame([Row(k="a", rid=1, rts=301)])  # next bucket
     out = range_join(left, right, on=["k"], left_ts="lts", right_ts="rts", width=F.lit(300))
     assert out.count() == 1
+
+
+def test_asof_join_nullable_right_payload(spark):
+    """All payload fields must come from the SAME matched right row: a
+    legitimately-NULL payload field must NOT be backfilled from an older
+    right row (the per-column last(ignorenulls) formulation did exactly
+    that; the struct-packed carry is the fix)."""
+    left = spark.createDataFrame([Row(k="u1", lid=1, lts=300)])
+    right = spark.createDataFrame(
+        [
+            Row(k="u1", rid=10, tag="old", rts=100),
+            # newest match has tag=NULL — the joined row must carry it as
+            # NULL, not resurrect 'old' from the earlier row
+            Row(k="u1", rid=11, tag=None, rts=200),
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rid", "tag", "rts"],
+    )
+    row = out.collect()[0]
+    assert row.r_rid == 11
+    assert row.r_tag is None
+    assert row.r_rts == 200
+
+
+def test_asof_join_inner_keeps_all_null_payload_match(spark):
+    """how='inner' must distinguish 'matched a right row whose payload is
+    NULL' from 'matched nothing' — the struct carry is non-null whenever a
+    right row matched, even if every payload field is NULL."""
+    left = spark.createDataFrame([Row(k="a", lid=1, lts=50), Row(k="b", lid=2, lts=50)])
+    right = spark.createDataFrame(
+        [("a", None, 10)], "k: string, tag: string, rts: long"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["tag", "rts"], how="inner",
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # key 'b' (no match) dropped, key 'a' kept
+    assert rows[0].lid == 1 and rows[0].r_tag is None and rows[0].r_rts == 10

@@ -133,3 +133,23 @@ def test_ann_ivf_kmeans_recall(spark):
     a = ivf.sort_values(["query_id", "rn"]).reset_index(drop=True)
     b = again.sort_values(["query_id", "rn"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shingles_short_docs_do_not_crash(spark):
+    """Documents with fewer than n tokens must be dropped by the shingle
+    guard, not crash the transform (negative-length sequence -> slice(_, 0, n)
+    raises) or emit bogus short shingles."""
+    from mdb_to_postgres_spark.extensions.dedup import _shingles
+
+    d = spark.createDataFrame(
+        [(1, "one"), (2, "just two"), (3, "exactly three tokens"),
+         (4, "a full four token doc"), (5, "")],
+        "doc_id: long, text: string",
+    )
+    rows = _shingles(d, 3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 1 not in by_doc and 2 not in by_doc and 5 not in by_doc
+    assert by_doc[3] == {"exactly three tokens"}
+    assert len(by_doc[4]) == 3  # 5 tokens -> 3 trigrams

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Local mirror of the verification driver's correctness sweep.
+
+Runs every registered query on a PLAIN SparkSession (driver-style: no
+factory tuning — the registry wrapper must do that) against sf0.01, runs
+the DuckDB oracle side-by-side, compares rows/schema/value-hash with a
+driver-style pandas canonicalizer (which dies on list cells, as the real
+one does), and prints per-query wall time so the registration-order
+budget can be audited. Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def vhash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    return hashlib.md5(pdf.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    t_start = time.perf_counter()
+    results: dict[str, dict] = {}
+    for i, (name, fn) in enumerate(qs.items(), 1):
+        t0 = time.perf_counter()
+        row: dict = {}
+        try:
+            sdf = fn(spark, sf).toPandas()
+            row["spark_rows"] = len(sdf)
+            if name in osql:
+                odf = con.execute(osql[name]).df()
+                row["oracle_rows"] = len(odf)
+                row["rows_match"] = len(sdf) == len(odf)
+                row["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+                row["hash_match"] = vhash(sdf) == vhash(odf)
+            else:
+                row["err"] = "no_oracle"
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"{type(e).__name__}: {e}"[:200]
+        row["sec"] = round(time.perf_counter() - t0, 2)
+        results[name] = row
+        status = (
+            "PASS" if row.get("hash_match")
+            else ("rows-only" if row.get("err") == "no_oracle" else "FAIL")
+        )
+        print(f"[{i:3d}/112 {time.perf_counter() - t_start:7.1f}s] "
+              f"{row['sec']:6.2f}s  {status:9s} {name}", flush=True)
+
+    bad = {n: r for n, r in results.items()
+           if not r.get("hash_match") and r.get("err") != "no_oracle"}
+    print(f"\nTOTAL {time.perf_counter() - t_start:.1f}s; "
+          f"fail={len(bad)}: {sorted(bad)}")
+    with open("/tmp/driver_sim_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
