@@ -67,6 +67,32 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.csv(path, schema=_NATION_SCHEMA, header=True)
 
 
+@query("scan_json", oracle="SELECT * FROM supplier")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON scan (#7b): the interchange format every
+    LLM-data pipeline ingests (web dumps, API exports). Round-trip: write
+    supplier to JSONL once per sf, read it back with the source's explicit
+    StructType (never inference-on-read). Doubles survive exactly —
+    Spark's JSON writer emits shortest-round-trip representations."""
+    src = tbl(spark, sf_dir, "supplier")
+    path = _cache_dir(sf_dir, "supplier_json")
+    if not _cache_complete(path):
+        src.write.mode("overwrite").json(path)
+    return spark.read.json(path, schema=src.schema)
+
+
+@query("scan_orc", oracle="SELECT * FROM part")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar scan (#7c): the second columnar format Spark ships a
+    vectorized reader for (Hive-ecosystem interchange). Binary-exact
+    round-trip: write part to ORC once per sf, read it back."""
+    src = tbl(spark, sf_dir, "part")
+    path = _cache_dir(sf_dir, "part_orc")
+    if not _cache_complete(path):
+        src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 @query("full_table_copy", oracle="SELECT * FROM customer")
 def full_table_copy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed 1:1 copy (#4), the reference's flagship op: scan -> columnar

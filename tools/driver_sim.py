@@ -72,7 +72,7 @@ def main() -> None:
             "PASS" if row.get("hash_match")
             else ("rows-only" if row.get("err") == "no_oracle" else "FAIL")
         )
-        print(f"[{i:3d}/112 {time.perf_counter() - t_start:7.1f}s] "
+        print(f"[{i:3d}/{len(qs)} {time.perf_counter() - t_start:7.1f}s] "
               f"{row['sec']:6.2f}s  {status:9s} {name}", flush=True)
 
     bad = {n: r for n, r in results.items()
