@@ -297,3 +297,128 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 131 + x) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "x_text_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS total_tokens,
+             COUNT(DISTINCT term) AS uniq_tokens
+      FROM toks WHERE term <> '' GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(l) - 2),
+                                   i -> concat_ws(' ', l[i+1], l[i+2], l[i+3]))) AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents)
+      WHERE len(l) >= 3
+    ),
+    tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+    trimax AS (SELECT doc_id, MAX(c) AS max_tri, SUM(c) AS n_tri
+               FROM tric GROUP BY doc_id)
+    SELECT t.doc_id, t.uniq_tokens, t.total_tokens,
+           CAST(t.uniq_tokens AS DOUBLE) / t.total_tokens AS type_token_ratio,
+           CAST(m.max_tri AS DOUBLE) / m.n_tri AS max_trigram_frac,
+           (CAST(t.uniq_tokens AS DOUBLE) / t.total_tokens < 0.5
+            OR CAST(m.max_tri AS DOUBLE) / m.n_tri > 0.1) AS is_repetitive
+    FROM tot t JOIN trimax m USING (doc_id)
+    """,
+)
+def x_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (Gopher-style filters): per-doc
+    type-token ratio and most-frequent-trigram share, flagging documents
+    dominated by repeated content. All-integer counts into single double
+    divides — bit-deterministic; trigram counts keep multiplicity (unlike
+    the dedup shingle index, which is a distinct set).
+
+    Scale: two token-level explode+groupBy passes, both keyed by doc_id —
+    partition-local after one shuffle each; no pairwise comparisons."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
+    tot = toks.groupBy("doc_id").agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("term").alias("uniq_tokens"),
+    )
+    # Spark SQL array subscripts are 0-based (DuckDB's are 1-based — the
+    # oracle encodes the dialect difference, not a semantic one).
+    tri = (
+        d.select("doc_id", _TOKS().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    tric = tri.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    trimax = tric.groupBy("doc_id").agg(
+        F.max("c").alias("max_tri"), F.sum("c").alias("n_tri")
+    )
+    ttr = F.col("uniq_tokens").cast("double") / F.col("total_tokens")
+    tri_frac = F.col("max_tri").cast("double") / F.col("n_tri")
+    return tot.join(trimax, "doc_id").select(
+        "doc_id",
+        "uniq_tokens",
+        "total_tokens",
+        ttr.alias("type_token_ratio"),
+        tri_frac.alias("max_trigram_frac"),
+        ((ttr < 0.5) | (tri_frac > 0.1)).alias("is_repetitive"),
+    )
+
+
+@query(
+    "x_text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS c FROM toks WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn FROM tf
+    )
+    SELECT COUNT(*) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(SUM(c) FILTER (WHERE rn <= 10) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS top10_share,
+           CAST(SUM(c) FILTER (WHERE rn <= 25) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS top25_share
+    FROM ranked
+    """,
+)
+def x_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration (Zipf shape of the corpus): what share of
+    all token occurrences the top-10/top-25 terms account for — the
+    corpus-balance probe a tokenizer-training pipeline runs first.
+    Deterministic: integer counts, rank ties broken by term, two divides.
+
+    Scale: term-frequency shuffle ∝ vocabulary size, then a single-node
+    window over the (tiny) vocabulary — never over the corpus."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_TOKS()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = tf.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+    )
+    top10 = F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(F.lit(0)))
+    top25 = F.sum(F.when(F.col("rn") <= 25, F.col("c")).otherwise(F.lit(0)))
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+        (top10.cast("double") / F.sum("c")).alias("top10_share"),
+        (top25.cast("double") / F.sum("c")).alias("top25_share"),
+    )
