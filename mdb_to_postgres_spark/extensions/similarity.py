@@ -53,60 +53,33 @@ def cosine(a: Column, b: Column) -> Column:
 # Spark: the lambda is interpreted per element, which made the all-pairs
 # query ~30x slower than necessary. For the known corpus dimensionality we
 # unroll the fold into a flat chain of products/adds that whole-stage
-# codegen compiles. Addition order is identical to DuckDB's
-# list_reduce (((t0+t1)+t2)+...), so results stay bit-deterministic.
+# codegen compiles; array getItem inside a hot join is a further ~10x
+# slower than flat scalar columns (measured: 39s -> 4s at sf0.1), so the
+# pairwise operators project the vector into DIM double columns before
+# joining. The unrolled trees are built as SINGLE SQL strings through
+# F.expr, not per-term Column operators: 127 py4j round-trips per dot
+# product cost ~0.3 s of pure plan-construction latency per call (parsing
+# the equivalent string is ~1000x cheaper). SQL + is left-associative, so
+# the add order still matches DuckDB's list_reduce (((t0+t1)+t2)+...) and
+# results stay bit-deterministic.
 
 DIM = 64  # corpus embedding dimensionality (all scale factors)
-
-
-def dot_fixed(a: Column, b: Column, dim: int = DIM) -> Column:
-    out: Column | None = None
-    for i in range(dim):
-        term = a.getItem(i).cast("double") * b.getItem(i).cast("double")
-        out = term if out is None else out + term
-    assert out is not None
-    return out
-
-
-def norm_fixed(a: Column, dim: int = DIM) -> Column:
-    out: Column | None = None
-    for i in range(dim):
-        term = a.getItem(i).cast("double") * a.getItem(i).cast("double")
-        out = term if out is None else out + term
-    assert out is not None
-    return F.sqrt(out)
-
-
-# Array getItem inside a hot join is ~10x slower than flat scalar columns
-# (measured at sf0.1: 39s -> 4s for the all-pairs query), so the pairwise
-# operators project the vector into DIM double columns before joining.
-# The single-file parquet also arrives as ONE partition — the stream side
-# of every pair join is repartitioned so the nested-loop parallelizes.
 
 
 def flat_emb(e: DataFrame, id_alias: str, prefix: str, dim: int = DIM) -> DataFrame:
     """(id, <prefix>0..<prefix>{dim-1}, <prefix>norm) projection."""
     cols = [
-        F.col("embedding").getItem(i).cast("double").alias(f"{prefix}{i}") for i in range(dim)
+        F.expr(f"CAST(embedding[{i}] AS DOUBLE) AS {prefix}{i}") for i in range(dim)
     ]
-    sq: Column | None = None
-    for i in range(dim):
-        t = F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
-        sq = t if sq is None else sq + t
-    assert sq is not None
+    sq = " + ".join(f"{prefix}{i} * {prefix}{i}" for i in range(dim))
     return e.select(F.col("vec_id").alias(id_alias), *cols).withColumn(
-        f"{prefix}norm", F.sqrt(sq)
+        f"{prefix}norm", F.expr(f"SQRT({sq})")
     )
 
 
 def dot_flat(pa: str, pb: str, dim: int = DIM) -> Column:
     """Left-fold dot over flat columns — same add order as the oracle."""
-    out: Column | None = None
-    for i in range(dim):
-        t = F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
-        out = t if out is None else out + t
-    assert out is not None
-    return out
+    return F.expr(" + ".join(f"{pa}{i} * {pb}{i}" for i in range(dim)))
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
@@ -367,16 +340,22 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 400 AND b.vec_id < 400
-      AND {_sql_cosine('a.embedding', 'b.embedding')} > 0.95
+      AND {_sql_cosine('a.embedding', 'b.embedding')} > 0.4
     """,
 )
 def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: unordered pairs above a
-    0.95 threshold, as the EXACT baseline on a bounded slice (first 400
+    """Embedding-cosine near-duplicate detection: unordered pairs above
+    threshold, as the EXACT baseline on a bounded slice (first 400
     vectors — constant cost at every scale factor). All-pairs over the full
     corpus is O(n^2) and can never run at 100 TB; the production near-dup
     paths are the banded ones (x_dedup_minhash_lsh, x_dedup_simhash,
-    x_sim_ann_ivf), which this query exists to validate against."""
+    x_sim_ann_ivf), which this query exists to validate against.
+
+    Threshold 0.4, not the 0.95 a real dedup would use: this synthetic
+    gaussian corpus contains no true near-dups (max pairwise cosine
+    ~0.51 at sf0.01), so 0.95 returned zero rows on both engines — a
+    vacuous hash-match. 0.4 sits in the corpus's top-similarity band and
+    yields ~40 checked pairs at every sf."""
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
     a = _parallelize(flat_emb(e, "vec_a", "a"))
     b = flat_emb(e, "vec_b", "b")
@@ -384,7 +363,7 @@ def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") > 0.95)
+        .filter(F.col("cos_sim") > 0.4)
         .select("vec_a", "vec_b", "cos_sim")
     )
 
@@ -432,12 +411,8 @@ def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         means = members.groupBy("centroid_id").agg(
             *[F.avg(f"c{i}").alias(f"t{i}") for i in range(DIM)]
         )
-        sq: Column | None = None
-        for i in range(DIM):
-            t_ = F.col(f"t{i}") * F.col(f"t{i}")
-            sq = t_ if sq is None else sq + t_
-        assert sq is not None
-        cent = means.withColumn("tnorm", F.sqrt(sq)).localCheckpoint()
+        sq = " + ".join(f"t{i} * t{i}" for i in range(DIM))
+        cent = means.withColumn("tnorm", F.expr(f"SQRT({sq})")).localCheckpoint()
     assigned = corpus.join(_assign_thin(corpus, cent, "neighbor_id"), "neighbor_id")
     q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
     q_sim = dot_flat("q", "t") / (F.col("qnorm") * F.col("tnorm"))
