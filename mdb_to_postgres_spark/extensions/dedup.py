@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.tables import T
@@ -270,7 +271,9 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_ORACLE = """
+# Recursive-closure CTE prefix shared by the components query and the
+# canonical-keeper query built on top of it.
+_COMPONENTS_CTES = """
     WITH RECURSIVE pairs AS (
       WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
       sh AS (
@@ -298,6 +301,9 @@ _COMPONENTS_ORACLE = """
       SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
     ),
     comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+"""
+
+_COMPONENTS_ORACLE = _COMPONENTS_CTES + """
     SELECT c.doc_id, c.component_id, s.component_size
     FROM comp c
     JOIN (SELECT component_id, COUNT(*) AS component_size FROM comp
@@ -344,3 +350,56 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("component_size"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "component_size")
+
+
+@query(
+    "x_dedup_canonical",
+    oracle=_COMPONENTS_CTES + """
+    , docs AS (SELECT doc_id, n_chars FROM documents),
+    clustered AS (
+      SELECT c.doc_id, c.component_id, d.n_chars
+      FROM comp c JOIN docs d USING (doc_id)
+    ),
+    keepers AS (
+      SELECT component_id, doc_id AS keeper_id FROM (
+        SELECT component_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY component_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM clustered
+      ) WHERE rn = 1
+    )
+    SELECT cl.doc_id, k.keeper_id, cl.doc_id = k.keeper_id AS is_keeper
+    FROM clustered cl JOIN keepers k USING (component_id)
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS keeper_id, TRUE AS is_keeper
+    FROM docs d WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+)
+def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the decision step that turns near-dup
+    clusters into a dedup verdict for EVERY corpus document: within each
+    cluster keep the longest version (n_chars desc, doc_id tiebreak);
+    documents in no cluster keep themselves. Output (doc_id, keeper_id,
+    is_keeper) is the full filter a downstream pipeline applies.
+
+    Scale: components + one window over cluster members (cluster-local) +
+    an anti-join for singletons — nothing touches pairs beyond the shared
+    component computation."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = x_dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    clustered = comp.join(d, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    keepers = (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("keeper_id"))
+    )
+    in_cluster = clustered.join(keepers, "component_id").select(
+        "doc_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+    singles = d.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("keeper_id"), F.lit(True).alias("is_keeper")
+    )
+    return in_cluster.unionByName(singles)
