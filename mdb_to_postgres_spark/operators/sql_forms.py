@@ -1,0 +1,111 @@
+"""SQL-text entry point (SURVEY.md §3.2 E2): the classic decision-support
+query shapes run as ONE ANSI SQL string that is simultaneously the Spark
+query (``spark.sql`` over temp views of the corpus tables) and the DuckDB
+oracle — the strongest possible parity statement, since there is no
+translation step left to get wrong.
+
+Dialect discipline: timestamp literals, DECIMAL casts, and the exact
+decimal revenue/charge fragments (functions/compat.py) are the ANSI subset
+both engines parse identically; every aggregate is decimal-accumulated and
+cast to DOUBLE at the end so float summation order cannot diverge.
+
+Scale notes (same plans a 100 TB run wants):
+- Q1 shape: single scan + partial/final HashAggregate on a 6-group key.
+- Q3 shape: segment-filtered customer dim broadcasts into orders, the
+  join result shuffles once on orderkey against lineitem; top-10 is
+  TakeOrderedAndProject (no global sort).
+- Q5 shape: region/nation/supplier dims broadcast; the two fact tables
+  meet on one orderkey shuffle; final agg is per-nation (25 groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.tables import T
+from ..functions.compat import REVENUE_EXPR, CHARGE_EXPR
+
+_D = "DECIMAL(18,2)"
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    for t in tables:
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_Q1 = f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({CHARGE_EXPR}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS {_D})) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_q1_pricing_summary", oracle=_Q1)
+def sql_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape through the SQL entry point: the oracle string IS the
+    executed query."""
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q1)
+
+
+_Q3 = f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({REVENUE_EXPR.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_q3_shipping_priority", oracle=_Q3)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (top unshipped orders by revenue) through the SQL
+    entry point; deterministic orderkey tiebreak under LIMIT."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q3)
+
+
+_Q5 = f"""
+    SELECT n.n_name,
+           CAST(SUM({REVENUE_EXPR.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_q5_local_supplier_volume", oracle=_Q5)
+def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (regional same-nation supplier revenue) through the
+    SQL entry point: three broadcast dims + one fact-fact shuffle."""
+    _views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(_Q5)

@@ -85,6 +85,7 @@ def load_all() -> None:
     from .operators import skew, physical  # noqa: F401  (physical -> scans)
     from .extensions import text_analysis, pipeline  # noqa: F401  (pipeline -> dedup)
     from .sources import jdbc_queries  # noqa: F401
+    from .operators import sql_forms  # noqa: F401
     # round-2-changed queries whose round-1 rows must be replaced
     from .operators import aggregates, sort_setops  # noqa: F401
     # remaining unchecked extension tier (heaviest; mostly rows-only checks)

@@ -145,3 +145,27 @@ def test_dpp_injects_dynamic_pruning(spark):
     load_all()
     plan = explain_str(QUERIES["join_dpp_pruned"](spark, ORACLE_SF))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_sql_q1_filter_pushed_to_scan(spark):
+    """sql_q1: the shipdate predicate must reach the parquet reader as a
+    data-source filter, not run as a post-scan Filter."""
+    load_all()
+    plan = explain_str(QUERIES["sql_q1_pricing_summary"](spark, ORACLE_SF))
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_sql_q3_topk_without_global_sort(spark):
+    """sql_q3: ORDER BY + LIMIT 10 must plan as TakeOrderedAndProject
+    (per-partition top-k + merge), never a full global sort."""
+    load_all()
+    plan = explain_str(QUERIES["sql_q3_shipping_priority"](spark, ORACLE_SF))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 1
+
+
+def test_sql_q5_dims_broadcast(spark):
+    """sql_q5: the dimension tables (region/nation/supplier/customer) must
+    broadcast — at least 3 BroadcastHashJoins in the 5-join plan."""
+    load_all()
+    plan = explain_str(QUERIES["sql_q5_local_supplier_volume"](spark, ORACLE_SF))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
