@@ -152,3 +152,80 @@ def x_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.floor(F.col("n_bytes") / (F.col("frame_idx") + 1)).alias("frame_offset"),
     )
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pad_x", T.IntegerType()),
+        T.StructField("pad_y", T.IntegerType()),
+    ]
+)
+
+_TARGET = 224  # canonical model input size
+
+
+def resize_media(decoded_df: DataFrame) -> DataFrame:
+    """Aspect-preserving letterbox resize stage (stub arithmetic, real
+    plumbing): a second Arrow-batched mapInPandas stage chained onto the
+    decode output — the fan-in/fan-out shape of a production media
+    pipeline. All integer math ((w*224)//max(w,h)), so the result is
+    exactly reproducible by the oracle."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            longest = pdf[["width", "height"]].max(axis=1)
+            out_w = (pdf["width"] * _TARGET) // longest
+            out_h = (pdf["height"] * _TARGET) // longest
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                    "pad_x": ((_TARGET - out_w) // 2).astype("int32"),
+                    "pad_y": ((_TARGET - out_h) // 2).astype("int32"),
+                }
+            )
+
+    return decoded_df.select("doc_id", "width", "height").mapInPandas(
+        resize_batches, schema=_RESIZED_SCHEMA
+    )
+
+
+@query(
+    "x_multimodal_resize_stub",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 + n % 64 AS INTEGER) AS width,
+             CAST(16 + (n // 64) % 64 AS INTEGER) AS height
+      FROM m
+    )
+    SELECT doc_id, width, height,
+           CAST((width * 224) // GREATEST(width, height) AS INTEGER) AS out_w,
+           CAST((height * 224) // GREATEST(width, height) AS INTEGER) AS out_h,
+           CAST((224 - (width * 224) // GREATEST(width, height)) // 2 AS INTEGER) AS pad_x,
+           CAST((224 - (height * 224) // GREATEST(width, height)) // 2 AS INTEGER) AS pad_y
+    FROM dims
+    """,
+)
+def x_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> resize pipeline (#66): two chained Arrow mapInPandas
+    stages, ORACLE-CHECKED end to end — the stub decoder derives (width,
+    height) from the payload length and the letterbox resize is pure
+    integer arithmetic, so DuckDB reproduces the whole two-stage Python
+    pipeline from octet_length alone. Proves batching, schema handoff
+    between Python stages, and partition flow, not just a single UDF."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return resize_media(decode_media(d))
