@@ -123,8 +123,7 @@ def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup (#60, deterministic variant): inverted
     shingle index self-joined, so only docs sharing a shingle pair up.
     Integer intersection / sizes -> one double divide: bit-deterministic."""
-    d = T(spark, sf_dir, "documents")
-    sh = _shingles(d, 3)
+    sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -162,8 +161,7 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle index; candidate generation touches only bucket collisions.
     Tests assert candidate recall against x_dedup_near_jaccard.
     """
-    d = T(spark, sf_dir, "documents")
-    sh = _shingles(d, 3)
+    sh = doc_shingles(spark, sf_dir)
     # 32 independent permutations via seeded xxhash64 of the shingle.
     hashed = sh.select(
         "doc_id",
@@ -275,6 +273,24 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # downstream cluster consumers don't re-run the iteration (see
 # x_dedup_components docstring).
 _COMP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# The (doc_id, shingle) inverted index is the shared substrate of every
+# shingle-based operator (Jaccard, MinHash banding, contamination scan) —
+# materialize it once per (session, sf) instead of re-exploding the corpus
+# per query. At 100 TB this is the index a pipeline writes to parquet once
+# per snapshot; localCheckpoint is the in-session equivalent.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached distinct word-trigram index over the documents table."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        sh = _SHINGLE_CACHE[key] = _shingles(
+            T(spark, sf_dir, "documents"), 3
+        ).localCheckpoint()
+    return sh
 
 # Recursive-closure CTE prefix shared by the components query and the
 # canonical-keeper query built on top of it.

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.tables import T
-from .dedup import _shingles
+from .dedup import doc_shingles
 
 
 @query(
@@ -130,7 +130,7 @@ def x_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles with any eval-set doc. The eval shingle index is tiny
     relative to the corpus, so it broadcasts — each training shard checks
     locally, no corpus-wide shuffle."""
-    sh = _shingles(T(spark, sf_dir, "documents"), 3)
+    sh = doc_shingles(spark, sf_dir)
     train = sh.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_doc"), "shingle"
     )
