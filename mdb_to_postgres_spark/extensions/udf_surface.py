@@ -162,7 +162,17 @@ def x_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_udf_map_in_pandas")  # rows-only: demonstrates the batch-map surface
+@query(
+    "x_udf_map_in_pandas",
+    # numpy floor_divide == FLOOR(a/b) elementwise, so the Python batch
+    # transform is exactly reproducible in SQL — the surface is proven by
+    # hash-match, not just by running.
+    oracle="""
+    SELECT event_id, value,
+           CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket
+    FROM events
+    """,
+)
 def x_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas (#67): whole-partition batch transform — the bulk-
     inference slot (see also multimodal.decode_media)."""
