@@ -153,3 +153,31 @@ def test_shingles_short_docs_do_not_crash(spark):
     assert 1 not in by_doc and 2 not in by_doc and 5 not in by_doc
     assert by_doc[3] == {"exactly three tokens"}
     assert len(by_doc[4]) == 3  # 5 tokens -> 3 trigrams
+
+
+def test_session_caches_are_sf_keyed(spark):
+    """The shingle-index and components caches key on (applicationId,
+    sf_dir): asking for a different scale factor must NOT serve the other
+    sf's materialization (would silently poison every shingle-based
+    oracle comparison)."""
+    from mdb_to_postgres_spark.extensions.dedup import doc_shingles
+
+    a = doc_shingles(spark, "/root/testdata/sf0.001")
+    b = doc_shingles(spark, "/root/testdata/sf0.01")
+    # both sfs hold 500 docs but DIFFERENT text, so the shingle sets differ
+    na, nb = a.select("shingle").distinct().count(), b.select("shingle").distinct().count()
+    assert na != nb, "different scale factors must materialize different indexes"
+    # second call serves the identical cached frame
+    assert doc_shingles(spark, "/root/testdata/sf0.001") is a
+
+
+def test_components_cache_consistent(spark):
+    """Cached and freshly-computed component results must agree."""
+    from mdb_to_postgres_spark.extensions import dedup
+    from mdb_to_postgres_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    first = QUERIES["x_dedup_components"](spark, sf).toPandas()
+    again = QUERIES["x_dedup_components"](spark, sf).toPandas()  # cache hit
+    key = lambda df: sorted(map(tuple, df[["doc_id", "component_id", "component_size"]].values))
+    assert key(first) == key(again)
