@@ -279,3 +279,54 @@ def x_mix_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", F.explode(F.sequence(F.lit(1), w)).alias("copy_idx")
     ).withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+
+
+_BATCH_SIZE = 16  # sequences per inference batch within a length bucket
+_BUCKET_TOKENS = 64  # bucket width in estimated tokens
+
+
+@query(
+    "x_pack_batches",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, est_tokens,
+             CAST(est_tokens // {_BUCKET_TOKENS} AS BIGINT) AS length_bucket,
+             ROW_NUMBER() OVER (PARTITION BY est_tokens // {_BUCKET_TOKENS}
+                                ORDER BY doc_id) - 1 AS pos
+      FROM t
+    )
+    SELECT doc_id, est_tokens, length_bucket,
+           CAST(pos // {_BATCH_SIZE} AS BIGINT) AS batch_idx,
+           CAST(pos % {_BATCH_SIZE} AS BIGINT) AS batch_slot
+    FROM b
+    """,
+)
+def x_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment — the dynamic-batching layout an
+    inference/training dataloader wants: sequences of similar length share
+    a batch so padding waste is bounded by the bucket width. One window
+    rank per bucket, integer div/mod into (batch_idx, slot); deterministic
+    by doc_id tiebreak.
+
+    Scale: the rank partitions by length_bucket (bounded cardinality), so
+    each bucket's window is an independent sort — no global order, and at
+    100 TB the bucket key prefixes a shard key the same way
+    x_pack_sequences' ORDER BY does."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"))
+    bucket = (F.col("est_tokens") / _BUCKET_TOKENS).cast("long")
+    w = Window.partitionBy("length_bucket").orderBy("doc_id")
+    b = t.withColumn("length_bucket", bucket).withColumn(
+        "pos", F.row_number().over(w) - 1
+    )
+    return b.select(
+        "doc_id",
+        "est_tokens",
+        "length_bucket",
+        (F.col("pos") / _BATCH_SIZE).cast("long").alias("batch_idx"),
+        (F.col("pos") % _BATCH_SIZE).cast("long").alias("batch_slot"),
+    )

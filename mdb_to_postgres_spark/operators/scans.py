@@ -276,3 +276,49 @@ def etl_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("change_seq", F2.lit(1))
     )
     return merge_upsert(base, changes, "o_orderkey", "change_seq")
+
+
+_MANIFEST_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_MANIFEST_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows,"
+    f" MIN({k}) AS key_min, MAX({k}) AS key_max,"
+    f" CAST(SUM({k}) AS BIGINT) AS key_sum FROM {t}"
+    for t, k in _MANIFEST_KEYS.items()
+)
+
+
+@query("etl_copy_manifest", oracle=_MANIFEST_ORACLE)
+def etl_copy_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job as one declarative query: a migration
+    validation manifest over every catalog table — row count plus
+    min/max/sum of the table's key column, the checks a copy pipeline
+    runs source-vs-sink after `full_table_copy` of each table. One
+    aggregate job per table unioned into a single result; each per-table
+    agg is a partial+final count/min/max/sum, so the manifest over a
+    100 TB database costs one scan per table and shuffles ten rows."""
+    parts = []
+    for t, k in _MANIFEST_KEYS.items():
+        parts.append(
+            tbl(spark, sf_dir, t).agg(
+                F.count("*").alias("n_rows"),
+                F.min(k).cast("long").alias("key_min"),
+                F.max(k).cast("long").alias("key_max"),
+                F.sum(k).cast("long").alias("key_sum"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "key_min", "key_max", "key_sum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
