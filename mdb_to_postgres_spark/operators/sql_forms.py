@@ -109,3 +109,59 @@ def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["customer", "orders", "lineitem", "supplier", "nation", "region"],
     )
     return spark.sql(_Q5)
+
+
+_Q10 = f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(SUM({REVENUE_EXPR.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+           c.c_acctbal,
+           n.n_name,
+           c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_q10_returned_items", oracle=_Q10)
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue) through the
+    SQL entry point; top-20 with deterministic custkey tiebreak."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(_Q10)
+
+
+_Q18 = f"""
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS {_D})) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query("sql_q18_large_orders", oracle=_Q18)
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (customers behind very large orders): IN-subquery
+    with HAVING over the fact table, decorrelated by Catalyst into a
+    semi-join against the pre-aggregated orderkeys."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q18)
