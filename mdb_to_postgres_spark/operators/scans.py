@@ -19,7 +19,6 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..sources.tables import T as tbl
-from ..etl.typemap import JET_TO_POSTGRES, JET_TO_SPARK
 
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache")
 
