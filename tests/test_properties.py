@@ -105,3 +105,60 @@ def test_salted_agg_equals_plain_for_any_salt_count(spark, rows, salts):
     one = df.groupBy("id").agg(F.sum("num").alias("total"), F.count("*").alias("cnt"))
     assert two.exceptAll(one).count() == 0
     assert one.exceptAll(two).count() == 0
+
+
+# as-of join law: our union+window formulation must agree with pandas
+# merge_asof (an independent reference implementation) on arbitrary
+# key/timestamp data — backward direction, ties match (>=).
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1_000)), min_size=1, max_size=20
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1_000), st.integers(-5, 5)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import pandas as pd
+
+    from mdb_to_postgres_spark.operators.asof import asof_join
+
+    # deterministic: dedupe (key, ts) on the right so "the matched row" is
+    # unique (merge_asof picks the last of equal timestamps; our window
+    # picks the one surviving row — identical only without ties)
+    seen = set()
+    right_u = []
+    for k, ts, v in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_u.append((k, ts, v))
+    lid = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(lid, "lid int, k int, lts long")
+    rdf = spark.createDataFrame(
+        right_u or [(99, -1, 0)], "k int, rts long, payload int"
+    )  # sentinel row for the empty case (key 99 never matches)
+    got = {
+        r.lid: (r.r_rts, r.r_payload)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["rts", "payload"],
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(lid, columns=["lid", "k", "lts"]).sort_values("lts")
+    rpdf = pd.DataFrame(
+        right_u or [(99, -1, 0)], columns=["k", "rts", "payload"]
+    ).sort_values("rts")
+    merged = pd.merge_asof(
+        lpdf, rpdf, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    for row in merged.itertuples():
+        want = (
+            None if pd.isna(row.rts) else int(row.rts),
+            None if pd.isna(row.payload) else int(row.payload),
+        )
+        assert got[row.lid] == want, (row.lid, got[row.lid], want)
