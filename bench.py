@@ -66,17 +66,18 @@ def main() -> None:
             queries[name](spark, sf_dir).count()
             target[name] = round(time.perf_counter() - t0, 4)
 
-    # Cold-pass detail goes to stderr; stdout gets ONE compact JSON line
-    # (per-query steady-state timings only, 3-decimal — the driver's output
-    # capture truncates long lines, which also broke round-1 parsing).
+    # Cold-pass detail goes to stderr; stdout gets ONE compact JSON line —
+    # the contract keys only, 2-decimal per-query values, no whitespace —
+    # kept as short as possible because the driver's output capture
+    # truncates long lines (round-1 parsing failure).
     print("cold pass: " + json.dumps({n: round(v, 3) for n, v in cold.items()}), file=sys.stderr)
+    print(f"cold_total: {round(sum(cold.values()), 2)}", file=sys.stderr)
     payload = json.dumps(
         {
-            "metric": "total_query_wall_time_steady_state",
-            "value": round(sum(timings.values()), 3),
+            "metric": "steady_state_query_wall_time",
+            "value": round(sum(timings.values()), 2),
             "unit": "sec",
-            "queries": {n: round(v, 3) for n, v in timings.items()},
-            "cold_total": round(sum(cold.values()), 3),
+            "queries": {n: round(v, 2) for n, v in timings.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import T
-from .scans import _cache_dir
+from .scans import _cache_complete, _cache_dir
 
 _N_BUCKETS = 8
 
@@ -98,7 +98,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_status_partitioned(spark: SparkSession, sf_dir: str) -> str:
     """Write orders directory-partitioned by o_orderstatus (once per sf)."""
     path = _cache_dir(sf_dir, "orders_by_status")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not _cache_complete(path):
         (
             T(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -155,7 +155,7 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     fact_path = _ensure_status_partitioned(spark, sf_dir)
     dim_path = _cache_dir(sf_dir, "status_dim_v2")
-    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+    if not _cache_complete(dim_path):
         spark.createDataFrame(
             [("O", "open"), ("F", "terminal"), ("P", "open")],
             "status: string, lifecycle: string",

@@ -173,7 +173,6 @@ def test_session_caches_are_sf_keyed(spark):
 
 def test_components_cache_consistent(spark):
     """Cached and freshly-computed component results must agree."""
-    from mdb_to_postgres_spark.extensions import dedup
     from mdb_to_postgres_spark.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
