@@ -85,6 +85,13 @@ def test_oracle_parity(name, spark, duck):
         f"{name}: oracle-checked query returns complex-typed columns "
         f"{complex_cols}; the driver canonicalizer cannot sort them"
     )
+    # Systemic anti-pattern guard: row-at-a-time Python UDFs
+    # (BatchEvalPython) are banned engine-wide — every Python crossing must
+    # be Arrow-vectorized (ArrowEvalPython / mapInPandas / applyInPandas).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in physical plan"
+    )
     spark_pdf = df.toPandas()
     duck_pdf = duck.execute(registry.ORACLES[name]).fetchdf()
     _assert_match(name, spark_pdf, duck_pdf)
