@@ -297,3 +297,46 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list("c_mktsegment"))).alias("segments"),
         F.count("*").alias("n_segments"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    r AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY n DESC, c_mktsegment) AS rn
+      FROM c
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value per group), formulated as count + window
+    rank rather than an engine mode() builtin: engines break frequency
+    ties differently, so the explicit (count desc, value) tiebreak is the
+    only oracle-exact form. Two shuffles (count keys, then rank per
+    group); at 100 TB the count output is dimension-sized, not
+    corpus-sized."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -206,3 +206,61 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_sec,
+             CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) > 3600
+                  OR LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM ev
+    ),
+    islands AS (
+      SELECT user_id, ts_sec,
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id,
+           MIN(ts_sec) AS island_start,
+           MAX(ts_sec) AS island_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (#38b): contiguous activity runs per user with a
+    1-hour gap threshold — LAG flag, running-sum island id, per-island
+    rollup. The batch-window form of sessionization (the streaming twin is
+    stream_session_window); one shuffle on user_id feeds the LAG window,
+    the island-id prefix sum, and the final rollup."""
+    from ..sources.tables import events_ts
+
+    e = events_ts(spark, sf_dir).select("user_id", "ts_sec")
+    w = Window.partitionBy("user_id").orderBy("ts_sec")
+    flagged = e.withColumn(
+        "new_island",
+        F.when(
+            (F.col("ts_sec") - F.lag("ts_sec").over(w) > 3600)
+            | F.lag("ts_sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts_sec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(run))
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("ts_sec").alias("island_start"),
+        F.max("ts_sec").alias("island_end"),
+        F.count("*").alias("n_events"),
+    )
