@@ -141,10 +141,13 @@ def x_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (#67): table function fanning each doc into fixed
-    chunks — the document-chunking slot (one row in, k rows out)."""
+    chunks — the document-chunking slot (one row in, k rows out).
+    Arrow-optimized (useArrow) so it plans as ArrowEvalPythonUDTF — the
+    engine-wide no-row-at-a-time-Python rule applies to table functions
+    too, and the parity suite's BatchEvalPython guard enforces it."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx: bigint, chunk_size: bigint")
+    @udtf(returnType="chunk_idx: bigint, chunk_size: bigint", useArrow=True)
     class ChunkPlanner:
         def eval(self, n_chars: int):
             size = (n_chars + 2) // 3
