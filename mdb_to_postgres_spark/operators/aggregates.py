@@ -227,6 +227,40 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (#32 family): p25/p50/p75/p95 of order value
+    per priority class. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both linearly interpolate as lower + (upper-lower)*g,
+    so doubles hash-match bit-for-bit (verified at sf0.001/0.01/0.1).
+
+    Scale note: exact percentile holds per-group value multisets in the
+    aggregation state, so memory scales with distinct values per group —
+    fine for bounded-cardinality measures; at 100 TB on high-cardinality
+    doubles the production form is ``approx_percentile`` (t-digest-style
+    bounded sketch, same call shape), which trades a rank-error bound for
+    O(1) state exactly as agg_approx_distinct does for counts."""
+    return T(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.expr("percentile(o_totalprice, 0.25D)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50D)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75D)").alias("p75"),
+        F.expr("percentile(o_totalprice, 0.95D)").alias("p95"),
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT o_orderpriority,
