@@ -158,6 +158,33 @@ def dedup_rows_subset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def reshape_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt) — the inverse of agg_pivot: the four
+    lineitem measures become (measure, val) rows keyed by line identity.
+    ``DataFrame.unpivot`` is a narrow Expand: each input row emits one row
+    per measure in-place, no shuffle and no Python — the plan is a single
+    scan + Expand + (pushed) projection, so it scales as a map-only stage
+    at any corpus size. The oracle spells the same reshape as UNION ALL."""
+    return T(spark, sf_dir, "lineitem").unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
 def etl_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed tier-R pipeline (scan->cast->normalize), used by tests."""
     e = T(spark, sf_dir, "events")
