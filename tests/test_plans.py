@@ -169,3 +169,24 @@ def test_sql_q5_dims_broadcast(spark):
     load_all()
     plan = explain_str(QUERIES["sql_q5_local_supplier_volume"](spark, ORACLE_SF))
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+
+
+def test_unpivot_is_map_only_expand(spark):
+    """reshape_unpivot: wide-to-long must plan as a single Expand over the
+    scan — no Exchange (a shuffle here would be pure waste: each input row
+    independently emits one row per measure)."""
+    load_all()
+    plan = explain_str(QUERIES["reshape_unpivot"](spark, ORACLE_SF))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) >= 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_quantiles_agg_two_phase(spark):
+    """agg_quantiles: grouped percentiles still aggregate in two phases
+    (partial per-partition state + final after the group shuffle)."""
+    load_all()
+    plan = explain_str(QUERIES["agg_quantiles"](spark, ORACLE_SF))
+    # Count numbered operator headers only: formatted explain repeats node
+    # names in the details section, so a bare substring count over-counts.
+    n_agg = len(re.findall(r"\(\d+\) (?:Object)?(?:Hash|Sort)Aggregate", plan))
+    assert n_agg >= 2, plan
