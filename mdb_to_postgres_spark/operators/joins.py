@@ -341,3 +341,39 @@ def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     T(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(_SUBQ_CORR_SQL.format(customer="customer_v"))
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    WITH l AS (SELECT event_id, NULLIF(event_type, 'click') AS k FROM events),
+    d AS (SELECT DISTINCT NULLIF(event_type, 'click') AS k FROM events),
+    d2 AS (SELECT k, 'type=' || COALESCE(k, '(null)') AS label FROM d)
+    SELECT l.event_id, d2.label
+    FROM l JOIN d2 ON l.k IS NOT DISTINCT FROM d2.k
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of silently dropping, the semantics Postgres
+    spells IS NOT DISTINCT FROM. The key is NULLIF-derived so a fifth of
+    the rows genuinely carry NULL — a plain inner equi-join would lose
+    them, making the match evidential, not vacuous.
+
+    Scale: Catalyst canonicalizes EqualNullSafe into a hashable key
+    (coalesce + null flag), so this stays a broadcast/shuffled HASH join —
+    never a nested loop — and the tiny derived dim is broadcast."""
+    ev = T(spark, sf_dir, "events")
+    lhs = ev.select("event_id", F.expr("nullif(event_type, 'click')").alias("k"))
+    dim = (
+        lhs.select("k")
+        .distinct()
+        .select(
+            F.col("k").alias("dk"),
+            F.concat(F.lit("type="), F.coalesce(F.col("k"), F.lit("(null)"))).alias("label"),
+        )
+    )
+    return (
+        lhs.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+        .select("event_id", "label")
+    )
