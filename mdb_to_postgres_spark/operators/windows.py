@@ -264,3 +264,34 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_sec").alias("island_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "win_distinct_count",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS distinct_types
+    FROM events
+    """,
+)
+def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding frame — per user, how many distinct
+    event types in the trailing 10 events. Spark has no
+    COUNT(DISTINCT) OVER; the engine form is ``size(collect_set() over
+    frame)``, which keeps the dedup inside the window operator's state
+    (set size is bounded by the frame's 10 rows, so state is O(frame),
+    not O(cardinality)). Same single partition-shuffle + sort as any
+    other window — no extra exchange for the distinctness."""
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types"),
+    )
