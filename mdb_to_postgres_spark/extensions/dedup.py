@@ -151,22 +151,82 @@ _N_HASHES = 32
 _N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.5 candidates
 
 
-@query("x_dedup_minhash_lsh")  # rows-only: hash mixing is engine-specific
+def _minhash_oracle() -> str:
+    """DuckDB mirror of the md5-hex MinHash+LSH pipeline below, generated
+    so the 32 min-hash aggregates and 8 band signatures stay in lockstep
+    with _N_HASHES/_N_BANDS."""
+    rows_per_band = _N_HASHES // _N_BANDS
+    mins = ",\n             ".join(
+        f"MIN(md5('s{i}:' || shingle)) AS m{i}" for i in range(_N_HASHES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS band_sig FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(l) - 2),
+             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+      FROM toks WHERE len(l) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS isect
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) >= 0.35
+    """
+
+
+@query("x_dedup_minhash_lsh", oracle=_minhash_oracle())
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup (#60, scale variant).
 
-    shingle -> 32 xxhash64 minhashes -> 8 bands of 4 -> bucket join on
+    shingle -> 32 seeded-md5 minhashes -> 8 bands of 4 -> bucket join on
     (band, band-signature) -> exact Jaccard verification of candidates.
     Everything is DataFrame ops: the signature build is one groupBy over
     the shingle index; candidate generation touches only bucket collisions.
+
+    Hash choice: MIN over fixed-width lowercase md5 hex strings — a valid
+    min-hash domain (lexicographic == numeric on fixed-width hex) that both
+    engines compute bit-identically, making the whole pipeline
+    oracle-checkable. An engine-local deployment would swap in xxhash64
+    (8-byte signatures, ~4x cheaper shuffle state) with the SAME topology;
+    the banded-join shape, not the hash kernel, is what carries to 100 TB.
     Tests assert candidate recall against x_dedup_near_jaccard.
     """
     sh = doc_shingles(spark, sf_dir)
-    # 32 independent permutations via seeded xxhash64 of the shingle.
+    # 32 independent permutations via seeded md5 of the shingle.
     hashed = sh.select(
         "doc_id",
         *[
-            F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle"))).alias(f"h{i}")
+            F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))).alias(f"h{i}")
             for i in range(_N_HASHES)
         ],
     )
@@ -179,8 +239,11 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        )
                     )
                     for b in range(_N_BANDS)
                 ]

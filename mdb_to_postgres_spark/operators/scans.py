@@ -189,7 +189,7 @@ def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('lineitem', 'l_linestatus', 'string', 'TEXT'),
       ('lineitem', 'l_shipdate', 'timestamp_ntz', 'TIMESTAMP'),
       ('events', 'event_id', 'bigint', 'BIGINT'),
-      ('events', 'ts', 'bigint', 'BIGINT'),
+      ('events', 'ts', 'timestamp_ntz', 'TIMESTAMP'),
       ('events', 'user_id', 'bigint', 'BIGINT'),
       ('events', 'event_type', 'string', 'TEXT'),
       ('events', 'value', 'double', 'DOUBLE PRECISION'),

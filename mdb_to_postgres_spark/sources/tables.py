@@ -67,21 +67,31 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with usable time columns.
 
-    ``ts`` arrives as BIGINT nanoseconds (see T); this derives
+    The corpus has shipped ``ts`` as BIGINT nanoseconds in one generation
+    and TIMESTAMP(US) (no timezone) in another, so this adapts to whatever
+    the parquet footer says rather than assuming either. It derives
     - ``ts_sec``: epoch seconds (BIGINT) — the canonical deterministic
       time axis for joins/windows (ns-vs-us precision never leaks), and
     - ``ts``: a microsecond TimestampType for Spark time-window operators
-      (truncation, matching DuckDB's ns->us cast behavior).
+      (with the session pinned to UTC by T, NTZ->TIMESTAMP is identity,
+      matching DuckDB's EXTRACT(epoch FROM ts) on the same file).
     """
     e = T(spark, sf_dir, "events")
+    if e.schema["ts"].dataType.simpleString() == "bigint":
+        ts_sec = F.expr("ts DIV 1000000000")
+        ts_us = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts_us = F.col("ts").cast("timestamp")
+        # 2024-era data: unix_seconds truncation == FLOOR(EXTRACT(epoch)).
+        ts_sec = F.unix_seconds(ts_us)
     return e.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
         "props",
-        F.expr("ts DIV 1000000000").alias("ts_sec"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        ts_sec.alias("ts_sec"),
+        ts_us.alias("ts"),
     )
 
 

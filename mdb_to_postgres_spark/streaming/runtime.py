@@ -18,18 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# File-stream schema: ts is BIGINT nanoseconds in the parquet (see
-# sources.tables.T); the reader converts to a microsecond timestamp.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# File-stream schema factory: the corpus has shipped ts as BIGINT nanos in
+# one generation and TIMESTAMP(US) NTZ in another, so the explicit schema a
+# file stream requires is derived per-variant; the reader normalizes either
+# to a microsecond timestamp.
+def _events_raw_schema(ts_is_long: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_long else T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,8 +58,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(os.path.dirname(stage), "events_stream_src.parquet.tmp")
         shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
         os.replace(tmp, target)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from ..sources.tables import T as _scan
+
+    ts_is_long = _scan(spark, sf_dir, "events").schema["ts"].dataType.simpleString() == "bigint"
+    raw = spark.readStream.schema(_events_raw_schema(ts_is_long)).format("parquet").load(stage)
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
