@@ -150,19 +150,42 @@ def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 32
 _N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.5 candidates
 
+# Universal-hash family over a single 28-bit md5-derived base hash:
+# h_i(x) = (A_i * h28(x) + B_i) mod P. One md5 per shingle instead of 32;
+# the A/B constants come from a fixed LCG so both engines bake in the SAME
+# literals. P = 2^31-1 (Mersenne); A_i*h < 2^59 never overflows BIGINT.
+_MINHASH_P = 2_147_483_647
+
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    seed, out = 42, []
+    for _ in range(_N_HASHES):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % 2**63
+        a = seed % (_MINHASH_P - 1) + 1
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % 2**63
+        b = seed % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+_MINHASH_AB = _minhash_coeffs()
+
 
 def _minhash_oracle() -> str:
-    """DuckDB mirror of the md5-hex MinHash+LSH pipeline below, generated
-    so the 32 min-hash aggregates and 8 band signatures stay in lockstep
-    with _N_HASHES/_N_BANDS."""
+    """DuckDB mirror of the universal-hash MinHash+LSH pipeline below,
+    generated so the 32 min-hash aggregates and 8 band signatures stay in
+    lockstep with _N_HASHES/_N_BANDS/_MINHASH_AB."""
     rows_per_band = _N_HASHES // _N_BANDS
     mins = ",\n             ".join(
-        f"MIN(md5('s{i}:' || shingle)) AS m{i}" for i in range(_N_HASHES)
+        f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
     )
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS band_sig FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+            expr=" || '|' || ".join(
+                f"CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
         )
         for b in range(_N_BANDS)
     )
@@ -175,9 +198,12 @@ def _minhash_oracle() -> str:
              i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
       FROM toks WHERE len(l) >= 3
     ),
+    hb AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
     sig AS (
       SELECT doc_id, {mins}
-      FROM sh GROUP BY doc_id
+      FROM hb GROUP BY doc_id
     ),
     bands AS (
       {band_selects}
@@ -213,25 +239,25 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is DataFrame ops: the signature build is one groupBy over
     the shingle index; candidate generation touches only bucket collisions.
 
-    Hash choice: MIN over fixed-width lowercase md5 hex strings — a valid
-    min-hash domain (lexicographic == numeric on fixed-width hex) that both
-    engines compute bit-identically, making the whole pipeline
-    oracle-checkable. An engine-local deployment would swap in xxhash64
-    (8-byte signatures, ~4x cheaper shuffle state) with the SAME topology;
-    the banded-join shape, not the hash kernel, is what carries to 100 TB.
+    Hash choice: ONE md5 per shingle -> 28-bit base hash (hex prefix) ->
+    32 affine universal hashes (A_i*h+B_i mod 2^31-1) with literal A/B
+    constants shared with the DuckDB oracle, so the whole pipeline is
+    cross-engine hash-checkable at ~1/32 the hashing cost of naive
+    per-permutation md5. An engine-local deployment would swap the base
+    hash for xxhash64 with the SAME topology; the banded-join shape, not
+    the hash kernel, is what carries to 100 TB.
     Tests assert candidate recall against x_dedup_near_jaccard.
     """
     sh = doc_shingles(spark, sf_dir)
-    # 32 independent permutations via seeded md5 of the shingle.
-    hashed = sh.select(
+    hb = sh.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ],
+        F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint").alias("h"),
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)]
+    sig = hb.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ]
     )
     rows_per_band = _N_HASHES // _N_BANDS
     bands = sig.select(
@@ -242,7 +268,10 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.md5(
                         F.concat_ws(
                             "|",
-                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            *[
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         )
                     )
                     for b in range(_N_BANDS)
@@ -279,20 +308,71 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", "jaccard")
 
 
-@query("x_dedup_simhash")  # rows-only: bit mixing is engine-specific
+_SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits BIGINT in both engines
+_SIMHASH_CHUNKS = 4  # 15-bit chunks; pigeonhole: hamming<=3 pairs share one
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of the md5-derived SimHash pipeline below."""
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    width = _SIMHASH_BITS // _SIMHASH_CHUNKS
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bs AS (
+      SELECT doc_id, {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {sig} AS simhash FROM bs),
+    chunks AS (
+      SELECT doc_id, simhash, c.chunk_id,
+             (simhash >> ({width} * c.chunk_id)) & {(1 << width) - 1} AS chunk_val
+      FROM sim CROSS JOIN (SELECT UNNEST(range({_SIMHASH_CHUNKS})) AS chunk_id) c
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sim_a, y.simhash AS sim_b
+      FROM chunks x JOIN chunks y
+        ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """
+
+
+@query("x_dedup_simhash", oracle=_simhash_oracle())
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign of per-bit token-hash
-    sums; candidate pairs block on equal 16-bit chunks (pigeonhole for
-    Hamming distance <= 3), then exact popcount filter."""
+    """SimHash near-dup: 60-bit signature = sign of per-bit token-hash
+    sums; candidate pairs block on equal 15-bit chunks (pigeonhole for
+    Hamming distance <= 3), then exact popcount filter.
+
+    The token hash is the first 15 hex chars of md5 (60 bits, BIGINT-safe)
+    so DuckDB reproduces the signature bit-for-bit and the whole pipeline
+    hash-checks; an engine-local build would use xxhash64's full 64 bits
+    with identical topology."""
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_TOKS()).alias("tok"))
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(_SIMHASH_BITS)
         ]
     )
     sim = bit_sums.select(
@@ -301,16 +381,24 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
                 * F.shiftleft(F.lit(1).cast("long"), b)
-                for b in range(64)
+                for b in range(_SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+    width = _SIMHASH_BITS // _SIMHASH_CHUNKS
     chunks = sim.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
         ).alias("chunk_id", "chunk_val"),
     )
     cand = (
