@@ -422,3 +422,100 @@ def x_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top10.cast("double") / F.sum("c")).alias("top10_share"),
         (top25.cast("double") / F.sum("c")).alias("top25_share"),
     )
+
+
+@query(
+    "x_text_redact_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+               AS raw
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted,
+           len(raw) - len(regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '', 'g'),
+             '\\d{3}-\\d{4}', '', 'g')) AS chars_redacted
+    FROM aug
+    """,
+)
+def x_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: regex redaction of email/phone patterns — the
+    pre-training privacy filter. The synthetic corpus carries no PII, so a
+    deterministic augmentation plants one email + one phone per doc first;
+    the op under test is the two-stage regexp_replace chain (pure JVM
+    regex, map-only: zero shuffle at any scale)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    email, phone = r"[a-z0-9._]+@[a-z0-9.]+", r"\d{3}-\d{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    stripped = F.regexp_replace(F.regexp_replace(F.col("raw"), email, ""), phone, "")
+    return aug.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (F.length("raw") - F.length(stripped)).alias("chars_redacted"),
+    )
+
+
+_CHUNK, _STRIDE = 50, 40  # tokens per chunk / stride (10-token overlap)
+
+
+@query(
+    "x_text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, len(l) AS n_tokens,
+             UNNEST(range(((len(l) - 1) // {_STRIDE}) + 1)) AS chunk_idx
+      FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {_STRIDE} AS start_tok,
+           LEAST(chunk_idx * {_STRIDE} + {_CHUNK}, n_tokens)
+             - chunk_idx * {_STRIDE} AS chunk_len
+    FROM chunks
+    WHERE chunk_idx * {_STRIDE} < n_tokens
+    """,
+)
+def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (50-token windows, 40-token stride) —
+    the context-window packing precursor. Pure sequence/explode
+    arithmetic: map-only with zero shuffle, so it scales linearly with
+    corpus bytes and parallelizes per input split."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l")).filter(
+        F.size("l") > 0
+    )
+    c = t.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size("l") - 1) / F.lit(_STRIDE)).cast("long"),
+            )
+        ).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") * _STRIDE < F.col("n_tokens"))
+    start = F.col("chunk_idx") * _STRIDE
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        (F.least(start + _CHUNK, F.col("n_tokens")) - start).alias("chunk_len"),
+    )

@@ -374,3 +374,36 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+             AS supp_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause): per-aggregate predicates in
+    one pass over the fact table — one shuffle, map-side partials intact,
+    versus the naive multi-scan union. Spark spells FILTER as
+    when(...)-guarded inputs (null inputs are ignored by SUM/COUNT) and
+    count_distinct over a guarded key."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_quantity").cast("decimal(18,2)"))
+        ).cast("double").alias("qty_taxed"),
+        F.count_distinct(
+            F.when(F.col("l_linestatus") == "F", F.col("l_suppkey"))
+        ).alias("supp_finished"),
+    )

@@ -321,3 +321,41 @@ def etl_copy_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderstatus,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    WHERE o_custkey < 500
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each change record
+    gets a [valid_from, valid_to) interval via LEAD over the change stream,
+    open-ended (is_current) on the latest. The CDC-merge companion to
+    etl_incremental_upsert. One shuffle on the entity key; the window is
+    per-entity and never global, so the plan is a single Exchange +
+    sort-within-partitions at any scale."""
+    from pyspark.sql.window import Window
+
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
