@@ -190,3 +190,26 @@ def test_quantiles_agg_two_phase(spark):
     # names in the details section, so a bare substring count over-counts.
     n_agg = len(re.findall(r"\(\d+\) (?:Object)?(?:Hash|Sort)Aggregate", plan))
     assert n_agg >= 2, plan
+
+
+def test_redact_and_chunk_are_map_only(spark):
+    # PII redaction and overlap chunking must not shuffle: no Exchange in
+    # either plan — they scale with input splits alone.
+    for name in ("x_text_redact_pii", "x_text_chunk_overlap"):
+        plan = explain_str(QUERIES[name](spark, ORACLE_SF))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_scd2_single_exchange(spark):
+    # One hash Exchange on the entity key; the LEAD window sorts within
+    # partitions, never globally.
+    plan = explain_str(QUERIES["etl_scd2_history"](spark, ORACLE_SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_filtered_agg_two_phase(spark):
+    # FILTER-clause aggregates keep map-side partial aggregation (the
+    # distinct-guarded count adds expand passes, but partials remain).
+    plan = explain_str(QUERIES["agg_filtered"](spark, ORACLE_SF))
+    assert "partial" in plan.lower(), plan
