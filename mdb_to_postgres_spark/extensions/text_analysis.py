@@ -519,3 +519,73 @@ def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_tok"),
         (F.least(start + _CHUNK, F.col("n_tokens")) - start).alias("chunk_len"),
     )
+
+
+@query(
+    "x_text_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, UNNEST(list_transform(range(len(l) - 1),
+             i -> l[i+1] || ' ' || l[i+2])) AS bigram
+      FROM toks WHERE len(l) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS bn FROM bg GROUP BY bigram),
+    uc AS (
+      SELECT string_split(bigram, ' ')[1] AS w, SUM(bn) AS un
+      FROM bc GROUP BY string_split(bigram, ' ')[1]
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c.bn AS DOUBLE) / u.un), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM bg g
+    JOIN bc c USING (bigram)
+    JOIN uc u ON string_split(g.bigram, ' ')[1] = u.w
+    WHERE g.doc_id < 300
+    GROUP BY g.doc_id
+    """,
+)
+def x_text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: per-doc mean log P(w_i | w_{i-1})
+    under corpus-wide MLE counts — the fluency/quality filter a pretraining
+    pipeline runs (low scores = disfluent or boilerplate-skewed text).
+
+    Determinism across engines: each log-prob is rounded to 6 decimals
+    (libm LN differs by <=1 ulp) and summed as DECIMAL — decimal addition
+    is order-independent, so the mean never depends on Spark's partial-agg
+    order. Scale: two count aggregations (shuffle ~ vocabulary), one
+    broadcast-sized unigram join; scoring is a bigram-key join, shuffle
+    ~ corpus bigrams — no all-pairs, no driver state."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l")).filter(
+        F.size("l") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(l)-2), i -> concat_ws(' ', l[i], l[i+1]))")
+        ).alias("bigram"),
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("bn"))
+    uc = bc.groupBy(F.split(F.col("bigram"), " ")[0].alias("w")).agg(
+        F.sum("bn").alias("un")
+    )
+    scored = (
+        bg.filter(F.col("doc_id") < 300)
+        .join(bc, "bigram")
+        .join(uc, F.split(F.col("bigram"), " ")[0] == F.col("w"))
+        .withColumn(
+            "lp",
+            F.round(F.log(F.col("bn").cast("double") / F.col("un")), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+    )

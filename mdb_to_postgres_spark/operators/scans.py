@@ -359,3 +359,33 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@query(
+    "etl_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations (v1 lacks a column
+    that v2 added) unified by mergeSchema — the reference's tolerant-load
+    posture applied to evolving landing zones. Missing columns surface as
+    NULL, never as a read error. At scale mergeSchema's footer sampling is
+    the cost knob; explicit unified StructTypes (extracted-schema
+    discipline) replace it once the catalog knows the superset."""
+    path = _cache_dir(sf_dir, "orders_evolving")
+    if not _cache_complete(os.path.join(path, "gen=v2")):
+        o = tbl(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(path, "gen=v1"))
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").parquet(os.path.join(path, "gen=v2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "gen=v1"), os.path.join(path, "gen=v2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")

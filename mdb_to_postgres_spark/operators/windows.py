@@ -295,3 +295,68 @@ def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("distinct_types"),
     )
+
+
+@query(
+    "win_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(ts_sec) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts_sec) AS t_click
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts_sec >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts_sec) AS t_purchase
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_sec >= c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel detection (view -> click -> purchase): the first
+    qualifying event of each stage must follow the previous stage's
+    timestamp. Three per-user MIN aggregations chained by time-constrained
+    joins — every shuffle keys on user_id, so at scale the three stages
+    co-partition into one exchange lineage (no re-keying), versus the
+    sort-heavy MATCH_RECOGNIZE formulation."""
+    ev = events_ts(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_sec") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_purchase"))
+    )
+    depth = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("funnel_depth"))
+    )
