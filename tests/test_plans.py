@@ -213,3 +213,13 @@ def test_filtered_agg_two_phase(spark):
     # distinct-guarded count adds expand passes, but partials remain).
     plan = explain_str(QUERIES["agg_filtered"](spark, ORACLE_SF))
     assert "partial" in plan.lower(), plan
+
+
+def test_funnel_and_bigram_avoid_nested_loops(spark):
+    # Stage-chained funnel joins and the bigram-count joins must stay
+    # hash-based (broadcast at toy scale, shuffle-on-key at scale) — a
+    # BNLJ/cartesian here would be O(n*m) at 100 TB.
+    for name in ("win_funnel", "x_text_bigram_score"):
+        plan = explain_str(QUERIES[name](spark, ORACLE_SF))
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, (name, plan)
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, (name, plan)
