@@ -165,3 +165,97 @@ def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join against the pre-aggregated orderkeys."""
     _views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_Q18)
+
+
+_Q6 = f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_discount AS {_D}))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_q6_forecast_revenue", oracle=_Q6)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global agg — every predicate must
+    reach the parquet reader (plan test asserts shipdate/quantity in
+    PushedFilters), so at 100 TB the scan reads only the year's row
+    groups. No shuffle at all: partial sums merge in one final stage."""
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q6)
+
+
+_Q14 = f"""
+    SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS {_D})
+                                       * (1 - CAST(l_discount AS {_D}))
+                                  ELSE CAST(0 AS {_D}) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS {_D})
+                      * (1 - CAST(l_discount AS {_D}))) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query("sql_q14_promo_effect", oracle=_Q14)
+def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: month-filtered fact joins the part dim (broadcast
+    at any realistic dim/fact ratio), conditional decimal sums, one final
+    divide — decimal accumulation keeps the ratio order-independent."""
+    _views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q14)
+
+
+_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("sql_q16_supplier_parts", oracle=_Q16)
+def sql_q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN anti-subquery against the supplier dim
+    (null-aware anti-join — Catalyst plans a broadcast NAAJ since the
+    subquery side is dim-sized), IN-list + inequality dim filters, and a
+    grouped COUNT(DISTINCT) whose expand shuffles only the surviving
+    join output."""
+    _views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(_Q16)
+
+
+_Q19 = f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {_D})
+                    * (1 - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("sql_q19_discounted_revenue", oracle=_Q19)
+def sql_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over an
+    equi-join. The join key stays an equi-join (hash/broadcast) with the
+    OR-of-conjunctions as a residual filter — never a nested loop; the
+    single-table arms of the disjunction (quantity ranges, brand/size)
+    still prune at each scan."""
+    _views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q19)

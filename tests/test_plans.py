@@ -223,3 +223,19 @@ def test_funnel_and_bigram_avoid_nested_loops(spark):
         plan = explain_str(QUERIES[name](spark, ORACLE_SF))
         assert "NestedLoop" not in plan and "Cartesian" not in plan, (name, plan)
         assert "HashJoin" in plan or "SortMergeJoin" in plan, (name, plan)
+
+
+def test_sql_q6_predicates_all_pushed(spark):
+    # Q6 is the pushdown benchmark: date band, discount band, quantity cap
+    # must ALL reach the parquet reader.
+    plan = explain_str(QUERIES["sql_q6_forecast_revenue"](spark, ORACLE_SF))
+    pushed = re.search(r"PushedFilters: \[[^\]]*\]", plan).group(0)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_sql_q19_equi_join_with_residual(spark):
+    # Disjunctive predicates must not demote the equi-join to a nested loop.
+    plan = explain_str(QUERIES["sql_q19_discounted_revenue"](spark, ORACLE_SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
