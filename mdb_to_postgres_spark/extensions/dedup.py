@@ -591,3 +591,35 @@ def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").alias("keeper_id"), F.lit(True).alias("is_keeper")
     )
     return in_cluster.unionByName(singles)
+
+
+@query(
+    "x_dedup_fuzzy_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (SELECT p_name, string_split(p_name, ' ')[2] AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def x_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: candidate pairs share a block
+    key (here the head noun of the name), then exact Levenshtein filters —
+    the entity-resolution shape for catalog/author/domain dedup. Pairs are
+    generated per block, never all-pairs; at scale the block key is the
+    shuffle key and skewed blocks salt exactly like any skewed join.
+    Both engines compute the same textbook edit distance."""
+    names = T(spark, sf_dir, "part").select("p_name").distinct()
+    keyed = names.select("p_name", F.split(F.col("p_name"), " ")[1].alias("blk"))
+    a = keyed.select(F.col("p_name").alias("name_a"), "blk")
+    b = keyed.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist")
+    )

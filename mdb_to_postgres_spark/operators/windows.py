@@ -360,3 +360,71 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("funnel_depth"))
     )
+
+
+@query(
+    "win_gap_fill_resample",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             (CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) // 3600) * 3600 AS h,
+             value
+      FROM events WHERE user_id < 24
+    ),
+    base AS (
+      SELECT user_id, h, COUNT(*) AS event_cnt, MAX(value) AS v
+      FROM ev GROUP BY user_id, h
+    ),
+    rng AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM base GROUP BY user_id),
+    spine AS (
+      SELECT user_id, UNNEST(range(mn, mx + 3600, 3600)) AS h FROM rng
+    )
+    SELECT s.user_id, s.h AS hour_start,
+           COALESCE(b.event_cnt, 0) AS event_cnt,
+           CASE WHEN b.h IS NULL THEN 1 ELSE 0 END AS was_gap,
+           last_value(b.v IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.h) AS value_ffill
+    FROM spine s LEFT JOIN base b ON s.user_id = b.user_id AND s.h = b.h
+    """,
+)
+def win_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine resampling with gap fill: hourly per-user activity where
+    silent hours appear as explicit zero rows and the last observed value
+    carries forward (IGNORE NULLS last_value). The spine is generated
+    per-entity from its own [min, max] via sequence+explode — no global
+    calendar table, no driver loop — and the fill window needs no extra
+    shuffle beyond the spine join's user_id partitioning. The standard
+    sensor/metrics densification op at any scale."""
+    from ..sources.tables import events_ts
+
+    ev = (
+        events_ts(spark, sf_dir)
+        .filter(F.col("user_id") < 24)
+        .select(
+            "user_id",
+            ((F.col("ts_sec") / 3600).cast("long") * 3600).alias("h"),
+            "value",
+        )
+    )
+    base = ev.groupBy("user_id", "h").agg(
+        F.count("*").alias("event_cnt"), F.max("value").alias("v")
+    )
+    rng = base.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = rng.select(
+        "user_id", F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("h")
+    )
+    j = spine.join(base, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.coalesce("event_cnt", F.lit(0)).alias("event_cnt"),
+        F.when(F.col("v").isNull() & F.col("event_cnt").isNull(), 1)
+        .otherwise(0)
+        .alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+    )
