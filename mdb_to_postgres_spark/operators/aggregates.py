@@ -407,3 +407,29 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_linestatus") == "F", F.col("l_suppkey"))
         ).alias("supp_finished"),
     )
+
+
+@query(
+    "agg_approx_quantiles_bound",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.50) AS exact_p50,
+           TRUE AS sketch_within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path, accuracy-gated like agg_approx_distinct's
+    HLL twin: approx_percentile keeps O(accuracy) mergeable state per group
+    instead of the full value multiset, and this query folds its estimate
+    into a BOOLEAN 2% relative-error bound against the exact median
+    (deterministic sketch, fixed input -> a stable invariant, not a flaky
+    tolerance). The exact median hash-matches the oracle outright."""
+    o = T(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.50D)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.50D, 1000)")
+    return o.groupBy("o_orderpriority").agg(
+        exact.alias("exact_p50"),
+        (F.abs(approx - exact) / exact < 0.02).alias("sketch_within_2pct"),
+    )
