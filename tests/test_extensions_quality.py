@@ -180,3 +180,44 @@ def test_components_cache_consistent(spark):
     again = QUERIES["x_dedup_components"](spark, sf).toPandas()  # cache hit
     key = lambda df: sorted(map(tuple, df[["doc_id", "component_id", "component_size"]].values))
     assert key(first) == key(again)
+
+
+def test_gap_fill_spine_is_contiguous(spark):
+    # Every user's resampled series must cover [min, max] with no holes:
+    # row count == (mx - mn)/3600 + 1, and filled rows carry zero counts,
+    # never nulls.
+    pdf = QUERIES["win_gap_fill_resample"](spark, ORACLE_SF).toPandas()
+    assert pdf["event_cnt"].notna().all()
+    for uid, g in pdf.groupby("user_id"):
+        hours = sorted(g["hour_start"])
+        assert len(hours) == (hours[-1] - hours[0]) // 3600 + 1, uid
+        assert (g["was_gap"] == (g["event_cnt"] == 0).astype(int)).all(), uid
+
+
+def test_fuzzy_names_blocking_never_misses_close_pairs(spark):
+    # Within the same head noun, blocking is exhaustive: a brute-force
+    # pandas check over the (tiny) distinct-name set finds exactly the
+    # same qualifying pairs.
+    got = QUERIES["x_dedup_fuzzy_names"](spark, ORACLE_SF).toPandas()
+    names = sorted(
+        r.p_name
+        for r in QUERIES["scan_parquet"](spark, ORACLE_SF).sparkSession.read.parquet(
+            f"{ORACLE_SF}/part.parquet"
+        ).select("p_name").distinct().collect()
+    )
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (a[i-1] != b[j-1]))
+        return d(len(a), len(b))
+    expect = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i+1:]
+        if a.split(" ")[1] == b.split(" ")[1] and lev(a, b) <= 3
+    }
+    assert {(r.name_a, r.name_b) for _, r in got.iterrows()} == expect
