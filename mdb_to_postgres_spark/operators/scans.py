@@ -139,9 +139,7 @@ def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet") and not f.startswith("MSys")
     )
-    # 10 driver-local rows: one partition, not default-parallelism slices
-    # (32 empty tasks of scheduling overhead for a catalog listing).
-    return spark.createDataFrame([(n,) for n in names], "table_name: string").coalesce(1)
+    return spark.createDataFrame([(n,) for n in names], "table_name: string")
 
 
 @query(
@@ -238,7 +236,7 @@ def extract_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((t, f.name, simple, pg or "TEXT"))
     return spark.createDataFrame(
         rows, "table_name: string, column_name: string, spark_type: string, postgres_type: string"
-    ).coalesce(1)  # 51 driver-local rows: one task, not 32
+    )
 
 
 @query(
