@@ -281,7 +281,55 @@ _N_CENTROIDS_MOD = 25  # corpus vectors with vec_id % MOD == 0 seed the centroid
 _NPROBE = 8  # random (clusterless) corpora are IVF's worst case; probe wide
 
 
-@query("x_sim_ann_ivf")  # rows-only: probe pruning is an approximation
+def _ivf_oracle() -> str:
+    """DuckDB mirror of the seed-centroid IVF path: same cosine fold, same
+    argmax/probe tie-breaks. The pipeline is approximate relative to exact
+    KNN but fully deterministic, so it hash-checks like any other query."""
+    cos_ct = _sql_cosine("c.embedding", "t.cemb")
+    cos_qt = _sql_cosine("q.qemb", "t.cemb")
+    cos_qc = _sql_cosine("q.qemb", "co.embedding")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id AS neighbor_id, embedding FROM embeddings WHERE vec_id >= 20
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
+      WHERE vec_id % {_N_CENTROIDS_MOD} = 0
+    ),
+    asg AS (
+      SELECT neighbor_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                ORDER BY cent_sim DESC, centroid_id) AS rn
+      FROM (SELECT c.neighbor_id, t.centroid_id, {cos_ct} AS cent_sim
+            FROM corpus c CROSS JOIN cent t)
+    ),
+    assigned AS (SELECT neighbor_id, centroid_id FROM asg WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 20),
+    pr AS (
+      SELECT query_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cent_sim DESC, centroid_id) AS prn
+      FROM (SELECT q.query_id, t.centroid_id, {cos_qt} AS cent_sim
+            FROM q CROSS JOIN cent t)
+    ),
+    probes AS (SELECT query_id, centroid_id FROM pr WHERE prn <= {_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {cos_qc} AS cos_sim
+      FROM probes p
+      JOIN assigned a ON p.centroid_id = a.centroid_id
+      JOIN q ON p.query_id = q.query_id
+      JOIN corpus co ON a.neighbor_id = co.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("x_sim_ann_ivf", oracle=_ivf_oracle())
 def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF coarse quantization (#62 scale path): corpus vectors are
     assigned to their nearest centroid (deterministic seed vectors);
@@ -387,7 +435,9 @@ def _assign_thin(corpus: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-@query("x_sim_ann_ivf_kmeans")  # rows-only: probe pruning is an approximation
+@query("x_sim_ann_ivf_kmeans")  # rows-only: Lloyd means are float AVGs,
+# whose value depends on partial-aggregation order — unlike the seed-
+# centroid IVF above, no cross-engine bit-identical oracle exists
 def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-refined centroids (#62 scale path, trained variant):
     the seed centroids of x_sim_ann_ivf are improved with k-means
