@@ -389,3 +389,55 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "gen=v1"), os.path.join(path, "gen=v2")
     )
     return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_regionkey END AS n_regionkey,
+           CASE WHEN n_nationkey % 7 = 3 THEN 1 ELSE 0 END AS is_corrupt
+    FROM nation
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant delimited-text load (the reference's forgiving-import
+    posture): a CSV with deterministically corrupted numeric fields is
+    read in PERMISSIVE mode — the bad field parses to NULL, the rest of
+    the row survives, and the raw line is captured in a corrupt-record
+    column for quarantine instead of failing the load. DROPMALFORMED /
+    FAILFAST are the same reader one option away; at scale quarantined
+    raw lines land in a reject sink for replay."""
+    path = _cache_dir(sf_dir, "nation_malformed_csv")
+    if not _cache_complete(path):
+        n = tbl(spark, sf_dir, "nation")
+        line = F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.when(F.col("n_nationkey") % 7 == 3, F.lit("BAD")).otherwise(
+                F.col("n_regionkey").cast("string")
+            ),
+        )
+        n.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = spark.read.csv(
+        path,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return raw.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0).alias("is_corrupt"),
+    )
