@@ -330,3 +330,125 @@ def x_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") / _BATCH_SIZE).cast("long").alias("batch_idx"),
         (F.col("pos") % _BATCH_SIZE).cast("long").alias("batch_slot"),
     )
+
+
+# Deterministic "version 2" of the corpus, shared by the diff/drift ops:
+# doc_id % 10 == 0 removed, % 10 == 5 edited (suffix appended), one new
+# doc per % 10 == 1 (id offset by 1,000,000). Pure column arithmetic, so
+# both engines derive the identical v2 with no staged files.
+_V2_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN text || ' v2 edit' ELSE text END AS text,
+             n_chars + CASE WHEN doc_id % 10 = 5 THEN 8 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, n_chars
+      FROM documents WHERE doc_id % 10 = 1
+"""
+
+
+def _corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    kept = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" v2 edit")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("n_chars") + F.when(F.col("doc_id") % 10 == 5, 8).otherwise(0)).alias(
+            "n_chars"
+        ),
+    )
+    added = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+    )
+    return kept.unionByName(added)
+
+
+@query(
+    "x_dataset_diff",
+    oracle=f"""
+    WITH v2 AS ({_V2_SQL})
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    WHERE NOT (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+               AND md5(a.text) = md5(b.text))
+    """,
+)
+def x_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: added/removed/changed docs between two corpus
+    snapshots by id + content hash (unchanged rows filtered out — at scale
+    they are the overwhelming majority and the diff report should be
+    proportional to churn, not corpus size). Full-outer hash join on the
+    id, content compare via md5 — shuffle keys are ids and 32-byte
+    hashes, never document bytes."""
+    v1 = T(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h1"))
+    v2 = _corpus_v2(spark, sf_dir).select("doc_id", F.md5("text").alias("h2"))
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("doc_id", "status")
+    )
+
+
+@query(
+    "x_corpus_drift",
+    oracle=f"""
+    WITH v2 AS ({_V2_SQL}),
+    h1 AS (SELECT n_chars // 100 AS bucket, COUNT(*) AS c1 FROM documents GROUP BY 1),
+    h2 AS (SELECT n_chars // 100 AS bucket, COUNT(*) AS c2 FROM v2 GROUP BY 1),
+    t1 AS (SELECT SUM(c1) AS n1 FROM h1),
+    t2 AS (SELECT SUM(c2) AS n2 FROM h2)
+    SELECT COALESCE(h1.bucket, h2.bucket) AS bucket,
+           COALESCE(c1, 0) AS cnt_v1,
+           COALESCE(c2, 0) AS cnt_v2,
+           CAST(COALESCE(c1, 0) AS DOUBLE) / n1 AS share_v1,
+           CAST(COALESCE(c2, 0) AS DOUBLE) / n2 AS share_v2,
+           ABS(CAST(COALESCE(c1, 0) AS DOUBLE) / n1
+               - CAST(COALESCE(c2, 0) AS DOUBLE) / n2) AS share_gap
+    FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket
+    CROSS JOIN t1 CROSS JOIN t2
+    """,
+)
+def x_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between corpus versions: per
+    length-bucket shares of each snapshot and their absolute gap (the
+    ingredients of a KS/PSI drift gate a pipeline alarms on before
+    training). Histograms are integer counts (bounded cardinality);
+    shares are single IEEE divides — deterministic; the bucket join is
+    dimension-sized regardless of corpus bytes."""
+    v1 = T(spark, sf_dir, "documents")
+    v2 = _corpus_v2(spark, sf_dir)
+    h1 = (
+        v1.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
+        .agg(F.count("*").alias("c1"))
+    )
+    h2 = (
+        v2.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
+        .agg(F.count("*").alias("c2"))
+    )
+    n1 = v1.count()
+    n2 = v2.count()
+    j = h1.join(h2, "bucket", "full_outer")
+    c1 = F.coalesce("c1", F.lit(0))
+    c2 = F.coalesce("c2", F.lit(0))
+    s1 = c1.cast("double") / F.lit(n1)
+    s2 = c2.cast("double") / F.lit(n2)
+    return j.select(
+        "bucket",
+        c1.alias("cnt_v1"),
+        c2.alias("cnt_v2"),
+        s1.alias("share_v1"),
+        s2.alias("share_v2"),
+        F.abs(s1 - s2).alias("share_gap"),
+    )
