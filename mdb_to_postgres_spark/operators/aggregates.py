@@ -433,3 +433,27 @@ def agg_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_p50"),
         (F.abs(approx - exact) / exact < 0.02).alias("sketch_within_2pct"),
     )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (#29 cont.): all 2^k grouping-set combinations in
+    one Expand + two-phase aggregate pass — the OLAP companion to
+    agg_grouping_sets' ROLLUP, same single-scan plan shape."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )

@@ -121,3 +121,36 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = T(spark, sf_dir, "customer").select((F.col("c_custkey") % 97).alias("bucket"))
     b = T(spark, sf_dir, "orders").select((F.col("o_custkey") % 89).alias("bucket"))
     return a.subtract(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey % 7 AS bucket FROM customer
+    INTERSECT ALL
+    SELECT o_custkey % 7 AS bucket FROM orders
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (#42 cont.): INTERSECT ALL keeps min(m, n)
+    copies per value — Spark plans it as a count-matching aggregate join,
+    not a distinct semi-join; multiplicity survives."""
+    a = T(spark, sf_dir, "customer").select((F.col("c_nationkey") % 7).alias("bucket"))
+    b = T(spark, sf_dir, "orders").select((F.col("o_custkey") % 7).alias("bucket"))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey % 7 AS bucket FROM orders
+    EXCEPT ALL
+    SELECT c_nationkey % 7 AS bucket FROM customer
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (#42 cont.): EXCEPT ALL keeps max(m - n, 0)
+    copies per value."""
+    a = T(spark, sf_dir, "orders").select((F.col("o_custkey") % 7).alias("bucket"))
+    b = T(spark, sf_dir, "customer").select((F.col("c_nationkey") % 7).alias("bucket"))
+    return a.exceptAll(b)
