@@ -483,3 +483,143 @@ def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# -- hyperplane LSH, cross-engine checkable variant ----------------------
+#
+# 4 tables x 8 signed-projection bits. Plane weights are small integer
+# literals from the same fixed LCG as dedup's minhash coefficients, baked
+# identically into the Spark expression strings and the DuckDB oracle, so
+# both engines derive bit-identical signatures. Staged as 32 separate
+# 64-term dot columns (one per plane) BEFORE bucket assembly — a single
+# fused 512-term expression risks Janino's method-size cliff (README
+# "codegen lessons").
+
+_LSH_TABLES, _LSH_BITS = 4, 8
+
+
+def _lsh_planes() -> list[list[list[int]]]:
+    seed = 1337
+    out = []
+    for _ in range(_LSH_TABLES):
+        tbl = []
+        for _ in range(_LSH_BITS):
+            row = []
+            for _ in range(DIM):
+                seed = (seed * 6364136223846793005 + 1442695040888963407) % 2**63
+                row.append(seed % 19 - 9)
+            tbl.append(row)
+        out.append(tbl)
+    return out
+
+
+_LSH_W = _lsh_planes()
+
+
+def _lsh_dot_sql(w: list[int], emb: str, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    return " + ".join(
+        f"CAST({emb}[{d + off}] AS DOUBLE) * {w[d]}" for d in range(DIM)
+    )
+
+
+def _lsh_sql_oracle() -> str:
+    qdots = ",\n             ".join(
+        f"({_lsh_dot_sql(_LSH_W[t][b], 'embedding', True)}) AS d{t}_{b}"
+        for t in range(_LSH_TABLES)
+        for b in range(_LSH_BITS)
+    )
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN d{t}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_LSH_BITS)
+        )
+    buckets = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {bucket(t)} AS bucket FROM dots"
+        for t in range(_LSH_TABLES)
+    )
+    cos = _sql_cosine("q.embedding", "c.embedding")
+    return f"""
+    WITH dots AS (
+      SELECT vec_id, {qdots} FROM embeddings
+    ),
+    buck AS (
+      {buckets}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM buck qb JOIN buck cb
+        ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 20 AND cb.vec_id >= 20
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("x_sim_ann_lsh_hyperplane", oracle=_lsh_sql_oracle())
+def x_sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH ANN, hash-checked end to end: 4 tables x 8
+    signed-projection bits from literal integer planes; candidates are
+    bucket collisions only (multi-table OR boosts recall), exact-rescored
+    and top-5'd per query. The engine-local twin (x_sim_ann_lsh) does the
+    same signature via a numpy matmul in mapInPandas — the right kernel at
+    scale; this variant proves the bucketing semantics against DuckDB with
+    pure expression arithmetic. Shuffle keys are (table, bucket) ints;
+    vectors never ride the candidate join."""
+    e = T(spark, sf_dir, "embeddings")
+    dots = e.select(
+        "vec_id",
+        *[
+            F.expr(f"({_lsh_dot_sql(_LSH_W[t][b], 'embedding', False)})").alias(
+                f"d{t}_{b}"
+            )
+            for t in range(_LSH_TABLES)
+            for b in range(_LSH_BITS)
+        ],
+    )
+    bucket_exprs = [
+        sum(
+            [
+                F.when(F.col(f"d{t}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(_LSH_BITS)
+            ],
+            F.lit(0),
+        ).alias(f"bk{t}")
+        for t in range(_LSH_TABLES)
+    ]
+    buck = dots.select("vec_id", *bucket_exprs).select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(_LSH_TABLES)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+    qb = buck.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cb = buck.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+    )
+    cand = qb.join(cb, ["table_id", "bucket"]).select("query_id", "neighbor_id").distinct()
+    qf = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
+    cf = flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c")
+    scored = (
+        cand.join(F.broadcast(qf), "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn("cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
