@@ -452,3 +452,48 @@ def x_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.alias("share_v2"),
         F.abs(s1 - s2).alias("share_gap"),
     )
+
+
+@query(
+    "x_tree_depth_pointer_jump",
+    oracle="""
+    WITH RECURSIVE walk(node, cur, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 1023
+      UNION ALL
+      SELECT node, (cur - 1) // 2, d + 1 FROM walk WHERE cur > 0
+    )
+    SELECT node AS doc_id, MAX(d) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def x_tree_depth_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal by pointer jumping: node depth in the implicit
+    binary-heap tree (parent = (id-1)//2, root 0) over the first 1023
+    docs. Each round joins the state with itself so the known-ancestor
+    pointer doubles its reach — O(log depth) shuffles total versus the
+    O(depth) self-joins of a naive walk (the recursive-CTE oracle does
+    exactly that sequential walk). The same shape computes org-chart
+    levels, thread nesting, or BOM depth at 100 TB, where depth ~ 40
+    means 6 rounds instead of 40."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1023)
+    state = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") > 0, (F.col("doc_id") - 1) / F.lit(2))
+        .otherwise(0)
+        .cast("long")
+        .alias("jump"),
+        F.when(F.col("doc_id") > 0, 1).otherwise(0).cast("long").alias("d"),
+    )
+    # 1023 nodes -> max depth 9; 4 doubling rounds reach 2^4 = 16 >= 9.
+    for _ in range(4):
+        nxt = state.select(
+            F.col("node").alias("jump"),
+            F.col("jump").alias("jump2"),
+            F.col("d").alias("d2"),
+        )
+        state = (
+            state.join(nxt, "jump")
+            .select("node", F.col("jump2").alias("jump"), (F.col("d") + F.col("d2")).alias("d"))
+            .localCheckpoint()
+        )
+    return state.select(F.col("node").alias("doc_id"), F.col("d").alias("depth"))
