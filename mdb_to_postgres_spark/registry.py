@@ -69,21 +69,72 @@ _LOADED = False
 #   rank 0 — a driver row exists but is not hash-green AND the query is
 #            oracle-backed now (visible failures: fix these first);
 #   rank 1 — no driver row at all (never checked);
-#   rank 2 — recorded rows-only and still without an oracle (a re-check
+#   rank 2 — hash-green historically, but the implementation or oracle has
+#            CHANGED since the round that went green (source fingerprint
+#            mismatch vs tools/fingerprints.json): must be re-verified, a
+#            stale green row does not cover new code;
+#   rank 3 — recorded rows-only and still without an oracle (a re-check
 #            cannot improve the record);
-#   rank 3 — hash-green already.
+#   rank 4 — hash-green and unchanged.
 # Within a rank, module registration order is kept. Each round the driver's
 # new file feeds back in, so the front-50 converges toward full coverage
-# with no per-round edits.
+# with no per-round edits. tools/record_fingerprints.py refreshes the
+# fingerprint sidecar; it is re-run at the end of every round so the sidecar
+# always describes the source tree the NEXT driver run will check.
 
 
-def _check_rank(name: str, oracle_backed: bool) -> int:
+def _fingerprint(fn: QueryFn, oracle: Optional[str]) -> str:
+    """md5 over the query function's source + its oracle SQL. Whitespace-
+    normalized per line so pure reformatting doesn't churn the sidecar."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(inspect.unwrap(fn))
+    except (OSError, TypeError):  # source unavailable (REPL): name-only
+        src = getattr(fn, "__qualname__", repr(fn))
+    norm = "\n".join(line.strip() for line in src.splitlines() if line.strip())
+    return hashlib.md5((norm + "\n---\n" + (oracle or "")).encode()).hexdigest()
+
+
+def current_fingerprints() -> dict[str, str]:
+    load_all()
+    return {n: _fingerprint(fn, ORACLES.get(n)) for n, fn in QUERIES.items()}
+
+
+_RECORDED_FP: Optional[dict[str, str]] = None
+
+
+def _recorded_fingerprints() -> dict[str, str]:
+    global _RECORDED_FP
+    if _RECORDED_FP is None:
+        import json
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(root, "tools", "fingerprints.json")
+        try:
+            with open(path) as f:
+                _RECORDED_FP = {k: v for k, v in json.load(f).items()
+                                if isinstance(v, str)}
+        except (OSError, ValueError):
+            _RECORDED_FP = {}
+    return _RECORDED_FP
+
+
+def _check_rank(name: str, oracle_backed: bool, fp: Optional[str] = None) -> int:
     history = _correctness_history()
     if name not in history:
         return 1
     if history[name]:  # best recorded row was hash-green
-        return 3
-    return 0 if oracle_backed else 2
+        recorded = _recorded_fingerprints().get(name)
+        # No sidecar entry yet = assume unchanged (the sidecar is seeded
+        # lazily); a PRESENT-but-different entry means the code or oracle
+        # moved after the green row and the green is stale evidence.
+        if recorded is not None and fp is not None and recorded != fp:
+            return 2
+        return 4
+    return 0 if oracle_backed else 3
 
 
 _HISTORY: Optional[dict[str, bool]] = None
@@ -132,7 +183,9 @@ def load_all() -> None:
 
     ordered = sorted(
         QUERIES.items(),
-        key=lambda kv: _check_rank(kv[0], kv[0] in ORACLES),
+        key=lambda kv: _check_rank(
+            kv[0], kv[0] in ORACLES, _fingerprint(kv[1], ORACLES.get(kv[0]))
+        ),
     )  # sorted() is stable: registration order survives within each rank
     QUERIES.clear()
     QUERIES.update(ordered)

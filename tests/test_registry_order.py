@@ -1,0 +1,94 @@
+"""The self-rotating registry IS the path to full driver coverage — its
+ordering and fingerprint-demotion rules are load-bearing, so they are
+tested, not assumed."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from mdb_to_postgres_spark import registry
+
+registry.load_all()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _history_names() -> set[str]:
+    names: set[str] = set()
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            names |= set(json.load(f))
+    return names
+
+
+def test_never_checked_queries_lead_the_window():
+    # Every registered query without any driver row must sit inside the
+    # driver's 50-entry window, ahead of already-green entries.
+    order = list(registry.QUERIES)
+    checked = _history_names()
+    unchecked = [n for n in order if n not in checked]
+    assert unchecked, "all queries have driver rows — rotation converged"
+    worst = max(order.index(n) for n in unchecked)
+    assert worst < 50, (worst, unchecked)
+
+
+def test_rank_scale():
+    checked = _history_names()
+    hist = registry._correctness_history()
+    greens = [n for n, ok in hist.items() if ok and n in registry.QUERIES]
+    assert greens, "no greens in history?"
+    # Unchanged green -> back of the queue (rank 4).
+    g = greens[0]
+    fp = registry._fingerprint(registry.QUERIES[g], registry.ORACLES.get(g))
+    assert registry._check_rank(g, g in registry.ORACLES, fp) in (2, 4)
+    # Never-checked -> rank 1.
+    unchecked = [n for n in registry.QUERIES if n not in checked]
+    if unchecked:
+        n = unchecked[0]
+        assert registry._check_rank(n, n in registry.ORACLES, "x") == 1
+
+
+def test_fingerprint_mismatch_demotes_green(monkeypatch):
+    hist = registry._correctness_history()
+    greens = [n for n, ok in hist.items() if ok and n in registry.QUERIES]
+    g = greens[0]
+    real_fp = registry._fingerprint(registry.QUERIES[g], registry.ORACLES.get(g))
+    monkeypatch.setattr(registry, "_RECORDED_FP", {g: real_fp})
+    assert registry._check_rank(g, True, real_fp) == 4
+    monkeypatch.setattr(registry, "_RECORDED_FP", {g: "different"})
+    assert registry._check_rank(g, True, real_fp) == 2
+    # Absent sidecar entry = assume unchanged (lazy seeding must not dump
+    # a hundred greens in front of the never-checked queue).
+    monkeypatch.setattr(registry, "_RECORDED_FP", {})
+    assert registry._check_rank(g, True, real_fp) == 4
+
+
+def test_fingerprint_stable_under_reformat():
+    g = next(iter(registry.QUERIES))
+    fn = registry.QUERIES[g]
+    fp1 = registry._fingerprint(fn, "SELECT 1")
+    fp2 = registry._fingerprint(fn, "SELECT 1")
+    assert fp1 == fp2
+    assert registry._fingerprint(fn, "SELECT 2") != fp1
+
+
+def test_sidecar_when_present_matches_current_tree():
+    # If fingerprints.json exists it must describe the current source for
+    # every green query — otherwise the next driver round re-checks stale
+    # entries instead of the never-checked frontier. Regenerate with
+    # tools/record_fingerprints.py after editing any registered query.
+    path = os.path.join(REPO, "tools", "fingerprints.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        recorded = json.load(f)
+    current = registry.current_fingerprints()
+    hist = registry._correctness_history()
+    stale = sorted(
+        n for n, ok in hist.items()
+        if ok and n in current and n in recorded and recorded[n] != current[n]
+    )
+    assert not stale, f"stale fingerprints (rerun tools/record_fingerprints.py): {stale}"
