@@ -111,12 +111,21 @@ _SESSIONIZED_SCHEMA = T.StructType(
 def x_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (#67): per-user ordered sequencing in
     Python — the custom-sessionization slot. Deterministic sort keys make
-    it equivalent to a window row_number."""
-    e = events_ts(spark, sf_dir).select("user_id", "event_id", "ts_sec")
+    it equivalent to a window row_number.
 
-    def sequence_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_sec", "event_id"]).reset_index(drop=True)
-        seq = pd.Series(range(1, len(pdf) + 1), dtype="int64")
+    Scale shape: the shuffle/group key is a COARSE BUCKET (user_id % 256),
+    not the raw entity — applyInPandas pays fixed Arrow + Python overhead
+    per group, so 10M users as 10M groups would drown in per-group cost
+    while 256 buckets keep each Arrow batch large and the per-entity work
+    vectorized inside pandas (groupby().cumcount(), no Python loop). Group
+    count stays bounded as the corpus grows; per-bucket size scales with
+    data/256 and is tuned like any partition size."""
+    e = events_ts(spark, sf_dir).select("user_id", "event_id", "ts_sec")
+    e = e.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(256)))
+
+    def sequence_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts_sec", "event_id"]).reset_index(drop=True)
+        seq = (pdf.groupby("user_id", sort=False).cumcount() + 1).astype("int64")
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
@@ -126,7 +135,7 @@ def x_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return e.groupBy("user_id").applyInPandas(sequence_user, schema=_SESSIONIZED_SCHEMA)
+    return e.groupBy("bucket").applyInPandas(sequence_bucket, schema=_SESSIONIZED_SCHEMA)
 
 
 @query(

@@ -106,6 +106,8 @@ _RECORDED_FP: Optional[dict[str, str]] = None
 
 
 def _recorded_fingerprints() -> dict[str, str]:
+    """name -> fingerprint at the time of the query's last hash-green driver
+    row (the "green" map maintained by tools/record_fingerprints.py)."""
     global _RECORDED_FP
     if _RECORDED_FP is None:
         import json
@@ -115,9 +117,10 @@ def _recorded_fingerprints() -> dict[str, str]:
         path = os.path.join(root, "tools", "fingerprints.json")
         try:
             with open(path) as f:
-                _RECORDED_FP = {k: v for k, v in json.load(f).items()
-                                if isinstance(v, str)}
-        except (OSError, ValueError):
+                data = json.load(f)
+            green = data.get("green", data)  # legacy flat format fallback
+            _RECORDED_FP = {k: v for k, v in green.items() if isinstance(v, str)}
+        except (OSError, ValueError, AttributeError):
             _RECORDED_FP = {}
     return _RECORDED_FP
 

@@ -29,6 +29,46 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert all(j >= 0.35 for j in lsh.jaccard)
 
 
+def test_minhash_kernel_twins_agree(spark):
+    # The xxhash64 production kernel shares the banded topology with the
+    # md5 oracle kernel; the exact-verification stage means both emit only
+    # true >=0.35 pairs, and on the same corpus they must recover
+    # (essentially) the same set — base-hash choice is not allowed to
+    # change what the operator finds.
+    md = QUERIES["x_dedup_minhash_lsh"](spark, ORACLE_SF).toPandas()
+    xx = QUERIES["x_dedup_minhash_lsh_xxh"](spark, ORACLE_SF).toPandas()
+    md_pairs = set(zip(md.doc_a, md.doc_b))
+    xx_pairs = set(zip(xx.doc_a, xx.doc_b))
+    if not md_pairs:
+        return
+    agree = len(md_pairs & xx_pairs) / len(md_pairs | xx_pairs)
+    assert agree >= 0.8, (agree, len(md_pairs), len(xx_pairs))
+    assert all(j >= 0.35 for j in xx.jaccard)
+
+
+def test_simhash_kernel_twins_agree(spark):
+    # SimHash signatures DEPEND on the hash kernel (the signature is the
+    # projection), so exact pair equality is not expected — but both
+    # kernels must find the hamming==0 exact-duplicate pairs and broadly
+    # agree on the near-dup set.
+    md = QUERIES["x_dedup_simhash"](spark, ORACLE_SF).toPandas()
+    xx = QUERIES["x_dedup_simhash_xxh"](spark, ORACLE_SF).toPandas()
+    md0 = set(zip(md[md.hamming == 0].doc_a, md[md.hamming == 0].doc_b))
+    xx0 = set(zip(xx[xx.hamming == 0].doc_a, xx[xx.hamming == 0].doc_b))
+    # Identical token multisets produce hamming 0 under ANY kernel, so the
+    # corpus's true exact-duplicate pairs must be found by both. (hamming-0
+    # is NOT exclusive to identical docs — near-identical multisets can
+    # collide kernel-dependently — so md0 == xx0 is not required.)
+    dup = QUERIES["x_dedup_exact"](spark, ORACLE_SF).toPandas()
+    groups = dup[dup.copies > 1]
+    if len(groups):
+        assert md0, "md5 kernel missed all exact duplicates"
+        assert xx0, "xxh kernel missed all exact duplicates"
+    if len(md) >= 5:
+        overlap = len(set(zip(md.doc_a, md.doc_b)) & set(zip(xx.doc_a, xx.doc_b)))
+        assert overlap / len(md) >= 0.5, (overlap, len(md), len(xx))
+
+
 def test_ann_lsh_overlaps_exact_knn(spark):
     exact = QUERIES["x_sim_topk_knn"](spark, ORACLE_SF).toPandas()
     ann = QUERIES["x_sim_ann_lsh"](spark, ORACLE_SF).toPandas()

@@ -75,20 +75,18 @@ def test_fingerprint_stable_under_reformat():
     assert registry._fingerprint(fn, "SELECT 2") != fp1
 
 
-def test_sidecar_when_present_matches_current_tree():
-    # If fingerprints.json exists it must describe the current source for
-    # every green query — otherwise the next driver round re-checks stale
-    # entries instead of the never-checked frontier. Regenerate with
-    # tools/record_fingerprints.py after editing any registered query.
+def test_sidecar_pending_matches_current_tree():
+    # The "pending" snapshot must describe the current source tree — it is
+    # the fingerprint set the next driver round's green rows will vouch
+    # for, so an out-of-date snapshot breaks the green-time promotion.
+    # Regenerate with tools/record_fingerprints.py after editing any
+    # registered query (the last step of every round).
     path = os.path.join(REPO, "tools", "fingerprints.json")
     if not os.path.exists(path):
         return
     with open(path) as f:
-        recorded = json.load(f)
+        state = json.load(f)
+    pending = state.get("pending", state)
     current = registry.current_fingerprints()
-    hist = registry._correctness_history()
-    stale = sorted(
-        n for n, ok in hist.items()
-        if ok and n in current and n in recorded and recorded[n] != current[n]
-    )
-    assert not stale, f"stale fingerprints (rerun tools/record_fingerprints.py): {stale}"
+    stale = sorted(n for n in current if pending.get(n) != current[n])
+    assert not stale, f"stale pending snapshot (rerun tools/record_fingerprints.py): {stale}"
