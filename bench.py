@@ -34,6 +34,23 @@ _EXCLUDE = {
 }
 
 
+def build_payload(timings: dict[str, float], sf: str) -> str:
+    """The ONE stdout line the driver parses — compact JSON, contract keys
+    only, 2-decimal per-query values (long lines get truncated by the
+    driver's capture; that killed round-1 parsing). Kept as a separate
+    function so tests can assert the line stays machine-parseable."""
+    return json.dumps(
+        {
+            "metric": "steady_state_query_wall_time",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": {n: round(v, 2) for n, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     # The driver parses stdout as JSON; round-1 BENCH recorded "parsed":
     # null. Guarantee exactly ONE line ever reaches the real stdout: dup the
@@ -78,16 +95,7 @@ def main() -> None:
     print("cold pass: " + json.dumps({n: round(v, 3) for n, v in cold.items()}), file=sys.stderr)
     print(f"cold_total: {round(sum(cold.values()), 2)}", file=sys.stderr)
     print(f"warm pass totals: {round(sum(warm1.values()), 2)} / {round(sum(warm2.values()), 2)}", file=sys.stderr)
-    payload = json.dumps(
-        {
-            "metric": "steady_state_query_wall_time",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "queries": {n: round(v, 2) for n, v in timings.items()},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = build_payload(timings, sf)
     os.write(real_stdout_fd, (payload + "\n").encode())
     os.close(real_stdout_fd)
 

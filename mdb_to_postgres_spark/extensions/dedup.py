@@ -475,13 +475,14 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached distinct word-trigram index over the documents table."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    sh = _SHINGLE_CACHE.get(key)
-    if sh is None:
-        sh = _SHINGLE_CACHE[key] = _shingles(
-            T(spark, sf_dir, "documents"), 3
-        ).localCheckpoint()
-    return sh
+    from ..sources.tables import session_cache_get
+
+    return session_cache_get(
+        _SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: _shingles(T(spark, sf_dir, "documents"), 3).localCheckpoint(),
+    )
 
 # Recursive-closure CTE prefix shared by the components query and the
 # canonical-keeper query built on top of it.
@@ -540,6 +541,8 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters instead of re-running the iteration, exactly as a production
     pipeline materializes the cluster table once per corpus snapshot."""
     app = spark.sparkContext.applicationId
+    for k in [k for k in _COMP_CACHE if k[0] != app]:  # stale-session eviction
+        del _COMP_CACHE[k]
     cached = _COMP_CACHE.get((app, sf_dir))
     if cached is not None:
         comp = cached

@@ -437,13 +437,22 @@ def x_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
         .agg(F.count("*").alias("c2"))
     )
-    n1 = v1.count()
-    n2 = v2.count()
-    j = h1.join(h2, "bucket", "full_outer")
+    # Totals are folded INTO the plan (single-row aggregates of the
+    # histograms, broadcast onto the bucket join) rather than eager
+    # .count() actions at plan-construction time, which double-scanned the
+    # corpora before the returned DataFrame ever executed — mirroring the
+    # oracle's t1/t2 CTEs exactly.
+    t1 = h1.agg(F.sum("c1").alias("n1"))
+    t2 = h2.agg(F.sum("c2").alias("n2"))
+    j = (
+        h1.join(h2, "bucket", "full_outer")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
     c1 = F.coalesce("c1", F.lit(0))
     c2 = F.coalesce("c2", F.lit(0))
-    s1 = c1.cast("double") / F.lit(n1)
-    s2 = c2.cast("double") / F.lit(n2)
+    s1 = c1.cast("double") / F.col("n1")
+    s2 = c2.cast("double") / F.col("n2")
     return j.select(
         "bucket",
         c1.alias("cnt_v1"),

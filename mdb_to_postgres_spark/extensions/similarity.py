@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import T
+from ..sources.tables import T, session_cache_get
 
 # -- shared cosine machinery (fold order matches DuckDB list_reduce) -----
 
@@ -84,6 +84,26 @@ def dot_flat(pa: str, pb: str, dim: int = DIM) -> Column:
 
 def _parallelize(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+# The flat (neighbor_id, c0..c63, cnorm) corpus projection is the shared
+# substrate of every corpus-vs-query operator (exact KNN, both LSH paths,
+# both IVF paths): 64 getItem casts + a norm per vector, re-derived from
+# parquet on every call before this cache existed. Materialized once per
+# (session, sf) via localCheckpoint — the in-session equivalent of the
+# flattened projection table a production pipeline writes next to the
+# embedding parquet.
+_FLAT_CORPUS_CACHE: dict = {}
+
+
+def flat_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        e = T(spark, sf_dir, "embeddings")
+        return _parallelize(
+            flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c")
+        ).localCheckpoint()
+
+    return session_cache_get(_FLAT_CORPUS_CACHE, spark, sf_dir, build)
 
 
 # DuckDB twin of the fold above. list_reduce has no init; the implicit
@@ -152,7 +172,7 @@ def x_sim_topk_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel at any corpus size."""
     e = T(spark, sf_dir, "embeddings")
     q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
-    c = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    c = flat_corpus(spark, sf_dir)
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
     )
@@ -257,7 +277,7 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     qf = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
-    cf = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    cf = flat_corpus(spark, sf_dir)
     cand = (
         _lsh_codes(c_raw, "neighbor_id")
         .join(F.broadcast(_lsh_codes(q_raw, "query_id")), ["tbl", "code"])
@@ -340,7 +360,7 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = flat_emb(
         e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
     )
-    corpus = _parallelize(flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c"))
+    corpus = flat_corpus(spark, sf_dir)
     # Assign every corpus vector to its nearest centroid. The assignment is
     # computed THIN — (vector_id, centroid_id) only via max_by with a
     # (sim, -id) tiebreak — then joined back, so the 65 double columns never
@@ -449,11 +469,9 @@ def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid id."""
     e = T(spark, sf_dir, "embeddings")
     # corpus feeds every Lloyd round plus the final assignment/rescore —
-    # materialize the flat projection once instead of re-deriving 64
-    # getItem casts from parquet per use.
-    corpus = _parallelize(
-        flat_emb(e.filter(F.col("vec_id") >= 20), "neighbor_id", "c")
-    ).localCheckpoint()
+    # the flat projection comes from the per-(session, sf) substrate cache
+    # shared with x_sim_ann_ivf/knn/lsh instead of a per-call checkpoint.
+    corpus = flat_corpus(spark, sf_dir)
     cent = flat_emb(e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t")
     for _ in range(_KMEANS_ITERS):
         assigned = _assign_thin(corpus, cent, "neighbor_id")
@@ -576,9 +594,7 @@ _LSH_BUCK_CACHE: dict = {}
 
 
 def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    buck = _LSH_BUCK_CACHE.get(key)
-    if buck is None:
+    def build() -> DataFrame:
         e = T(spark, sf_dir, "embeddings")
         dots = e.select(
             "vec_id",
@@ -610,8 +626,9 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        _LSH_BUCK_CACHE[key] = buck
-    return buck
+        return buck
+
+    return session_cache_get(_LSH_BUCK_CACHE, spark, sf_dir, build)
 
 
 @query("x_sim_ann_lsh_hyperplane", oracle=_lsh_sql_oracle())

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..sources.tables import T as tbl
-from ..sources.tables import events_ts
+from ..sources.tables import events_ts, ev_sec_sql
 
 
 @F.pandas_udf(T.DoubleType())
@@ -99,12 +99,12 @@ _SESSIONIZED_SCHEMA = T.StructType(
 
 @query(
     "x_udf_grouped_map",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
            ROW_NUMBER() OVER (PARTITION BY user_id
-                              ORDER BY CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT), event_id) AS seq,
+                              ORDER BY {ev_sec_sql()}, event_id) AS seq,
            ROW_NUMBER() OVER (PARTITION BY user_id
-                              ORDER BY CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT), event_id) AS events_so_far
+                              ORDER BY {ev_sec_sql()}, event_id) AS events_so_far
     FROM events
     """,
 )

@@ -16,13 +16,13 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import REVENUE_EXPR
 from ..registry import query
-from ..sources.tables import T, events_ts
+from ..sources.tables import T, events_ts, ev_sec_sql
 from .asof import asof_join, range_join
 
 # Epoch-seconds view of events: all as-of/range logic runs on BIGINT
 # seconds, sidestepping ns-vs-us timestamp precision differences between
 # engines (SURVEY.md §4.3 determinism table).
-_EV_SEC = "CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)"
+_EV_SEC = ev_sec_sql()  # generation-derived: see sources/tables.py
 
 
 def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import T, events_ts
+from ..sources.tables import T, events_ts, ev_sec_sql
+
+_EV_SEC = ev_sec_sql()  # generation-derived: see sources/tables.py
 
 
 @query(
@@ -69,9 +71,9 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_lag_lead",
-    oracle="""
+    oracle=f"""
     WITH ev AS (SELECT event_id, user_id, event_type,
-                       CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_sec
+                       {_EV_SEC} AS ts_sec
                 FROM events)
     SELECT event_id, user_id, ts_sec,
            ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap_prev,
@@ -210,9 +212,9 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_gaps_islands",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
-      SELECT user_id, CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_sec
+      SELECT user_id, {_EV_SEC} AS ts_sec
       FROM events
     ),
     flagged AS (
@@ -299,10 +301,10 @@ def win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_funnel",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT user_id, event_type,
-             CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ts_sec
+             {_EV_SEC} AS ts_sec
       FROM events
     ),
     v AS (SELECT user_id, MIN(ts_sec) AS t_view FROM ev
@@ -364,10 +366,10 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_gap_fill_resample",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT user_id,
-             (CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) // 3600) * 3600 AS h,
+             ({_EV_SEC} // 3600) * 3600 AS h,
              value
       FROM events WHERE user_id < 24
     ),

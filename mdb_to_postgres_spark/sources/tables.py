@@ -64,6 +64,24 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def session_cache_get(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """(applicationId, sf_dir)-keyed memo with stale-session eviction.
+
+    Entries built under a stopped SparkSession reference unreachable
+    localCheckpoint blocks, so keeping them leaks driver memory in
+    long-lived multi-session processes (pytest, the verification driver).
+    Any key whose applicationId differs from the ACTIVE session is dropped
+    before lookup; per-sf entries of the live session are kept (multi-sf
+    use within one session is supported and tested)."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
+    key = (app, sf_dir)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with usable time columns.
 
@@ -93,6 +111,57 @@ def events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_sec.alias("ts_sec"),
         ts_us.alias("ts"),
     )
+
+
+_EV_GEN: str | None = None
+
+
+def events_generation() -> str:
+    """'bigint' | 'timestamp' — the events.ts storage generation, probed
+    from the parquet footers of every testdata sf dir (pyarrow, no Spark
+    session needed; called once at oracle-construction/import time).
+
+    The corpus has shipped ts as BIGINT nanoseconds in one generation and
+    TIMESTAMP(US) in another. The Spark side (events_ts) adapts per file;
+    oracle SQL is a static string registered at import, so it derives from
+    THIS probe — and if the sf dirs ever disagree with each other no
+    single string can be right, which fails loudly here instead of as a
+    silent per-sf hash mismatch."""
+    global _EV_GEN
+    if _EV_GEN is None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        roots = set(glob.glob("/root/testdata/sf*"))
+        env = os.environ.get("SPARK_GRAFT_SF_DIR")
+        if env:
+            roots.add(env)
+        kinds = set()
+        for root in sorted(roots):
+            path = os.path.join(root, "events.parquet")
+            if os.path.exists(path):
+                t = pq.read_schema(path).field("ts").type
+                kinds.add("bigint" if pat.is_integer(t) else "timestamp")
+        if len(kinds) > 1:
+            raise RuntimeError(
+                f"events.ts generations disagree across sf dirs ({kinds}); "
+                "static oracle SQL cannot serve both — regenerate testdata "
+                "to one generation"
+            )
+        _EV_GEN = kinds.pop() if kinds else "timestamp"
+    return _EV_GEN
+
+
+def ev_sec_sql(col: str = "ts") -> str:
+    """DuckDB epoch-seconds expression for events.ts, matching events_ts's
+    Spark-side derivation for the probed generation (BIGINT ns: floor-div;
+    timestamp: unix_seconds == FLOOR(EXTRACT(epoch)) for 2024-era data)."""
+    if events_generation() == "bigint":
+        return f"({col} // 1000000000)"
+    return f"CAST(FLOOR(EXTRACT(epoch FROM {col})) AS BIGINT)"
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

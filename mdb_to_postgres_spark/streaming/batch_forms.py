@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import events_ts
+from ..sources.tables import events_ts, ev_sec_sql
 
-_EV_SEC = "CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)"
+_EV_SEC = ev_sec_sql()  # generation-derived: see sources/tables.py
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
