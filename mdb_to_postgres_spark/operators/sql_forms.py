@@ -259,3 +259,329 @@ def sql_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     still prune at each scan."""
     _views(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(_Q19)
+
+# ----------------------------------------------------------------------
+# Round-4 widening: the remaining classic decision-support shapes, adapted
+# to the corpus's reduced schema (no partsupp table, no commit/receipt
+# dates, no phone column — each adaptation keeps the ORIGINAL query's plan
+# shape: the correlated/EXISTS/semi-join structure is the point, not the
+# exact column set).
+
+
+def _rev(alias: str) -> str:
+    return REVENUE_EXPR.replace("l_extendedprice", f"{alias}.l_extendedprice").replace(
+        "l_discount", f"{alias}.l_discount"
+    )
+
+
+_Q2 = """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           CAST(l.l_extendedprice AS DOUBLE) AS supply_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 25 AND p.p_type = 'STANDARD'
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("sql_q2_min_cost_supplier", oracle=_Q2)
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: with no partsupp
+    table, lineitem is the supply relation and extendedprice the cost. The
+    load-bearing structure survives — a correlated scalar MIN subquery per
+    part, decorrelated by Catalyst into an aggregate + self-join on
+    partkey (no per-row re-execution); dim filters prune the part scan."""
+    _views(spark, sf_dir, ["part", "lineitem", "supplier"])
+    return spark.sql(_Q2)
+
+
+_Q4 = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("sql_q4_order_priority", oracle=_Q4)
+def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted: the late-line
+    predicate (commitdate < receiptdate, columns absent) becomes a
+    returned-line predicate. Correlated EXISTS plans as a LEFT SEMI join
+    on orderkey — the quarter filter prunes the orders scan first, so the
+    semi-join probe side is one quarter of the fact, not all of it."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q4)
+
+
+_Q7 = f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             {_rev('l')} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_q7_volume_shipping", oracle=_Q7)
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume by year): both nation dims
+    broadcast; the nation-pair disjunction is a residual on the joins, and
+    the two-year shipdate band prunes the fact scan. Grouping key is
+    (nation, nation, year) — tiny output at any scale."""
+    _views(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    return spark.sql(_Q7)
+
+
+_Q8 = f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_rev('l')} AS volume, n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query("sql_q8_market_share", oracle=_Q8)
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): seven-table star with both
+    customer-side (region gate) and supplier-side (share numerator) nation
+    roles; conditional decimal sums keep the share ratio exact until the
+    final divide."""
+    _views(
+        spark, sf_dir,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    )
+    return spark.sql(_Q8)
+
+
+_Q9 = f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_margin
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_rev('l')}
+             - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@query("sql_q9_product_margin", oracle=_Q9)
+def sql_q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted: with no
+    ps_supplycost, margin = revenue - retailprice*quantity. Keeps the
+    infix-LIKE part filter (StringContains pushdown), the five-table join
+    tree, and the (nation, year) rollup of a per-line decimal amount."""
+    _views(spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"])
+    return spark.sql(_Q9)
+
+
+_Q12 = """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+"""
+
+
+@query("sql_q12_priority_lines", oracle=_Q12)
+def sql_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split), adapted: shipmode/
+    commit-vs-receipt (columns absent) become returnflag + priority-class
+    pivot. The orders join carries only the priority column; conditional
+    integer counts pivot without a second scan."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q12)
+
+
+_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("sql_q13_customer_distribution", oracle=_Q13)
+def sql_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with an ON-clause filter (must stay in the join condition, not a
+    WHERE — zero-order customers survive), double aggregation custkey ->
+    count -> histogram."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q13)
+
+
+_Q15 = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({REVENUE_EXPR}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("sql_q15_top_supplier", oracle=_Q15)
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier via revenue view): the CTE stands in
+    for the original CREATE VIEW; the scalar MAX subquery re-reads the CTE
+    (both engines evaluate it once and broadcast the scalar). Decimal
+    accumulation makes the equality against MAX exact — safe in a way
+    float totals never would be."""
+    _views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(_Q15)
+
+
+_Q17 = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                        / COUNT(l2.l_quantity))
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("sql_q17_small_quantity_revenue", oracle=_Q17)
+def sql_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    AVG per part, decorrelated into a partkey aggregate joined back to the
+    filtered fact. The 0.2*avg threshold is computed as exact-sum/count in
+    DOUBLE so both engines perform identical IEEE ops."""
+    _views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q17)
+
+
+_Q20 = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100.0
+      )
+      AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4'))
+"""
+
+
+@query("sql_q20_part_suppliers", oracle=_Q20)
+def sql_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with significant stock of matching
+    parts), adapted: lineitem stands in for partsupp as the supply
+    relation (as Q16's adaptation does). Nested IN chain: prefix-LIKE part
+    filter (StringStartsWith pushdown) feeds a grouped HAVING semi-join,
+    intersected with a broadcast nation semi-join."""
+    _views(spark, sf_dir, ["supplier", "lineitem", "part", "nation"])
+    return spark.sql(_Q20)
+
+
+_Q21 = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+"""
+
+
+@query("sql_q21_waiting_supplier", oracle=_Q21)
+def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    returnflag as the fault marker: the sole-at-fault supplier in
+    multi-supplier finished orders. The EXISTS and NOT EXISTS both
+    correlate on (orderkey, <> suppkey) — one LEFT SEMI and one LEFT ANTI
+    join against the same fact, the classic double-correlation plan."""
+    _views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_Q21)
+
+
+_Q22 = """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c.c_name, 16, 2) AS cntrycode, c.c_acctbal AS acctbal
+      FROM customer c
+      WHERE substring(c.c_name, 16, 2) IN ('02','13','24','35','46','57')
+        AND CAST(c.c_acctbal AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode
+"""
+
+
+@query("sql_q22_sales_opportunity", oracle=_Q22)
+def sql_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: country code
+    comes from c_name digits (no phone column). Scalar above-average
+    balance subquery (exact sum/count then one IEEE divide) + NOT EXISTS
+    anti-join against recent orders, grouped on the derived code."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q22)
