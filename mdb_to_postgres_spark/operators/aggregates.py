@@ -457,3 +457,43 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
+
+
+_CORR_MOMENTS = """
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+_CORR_FINAL = """
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+           / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_price_per_qty
+    FROM moments
+"""
+
+_CORR_SQL = f"WITH moments AS ({_CORR_MOMENTS})\n{_CORR_FINAL}"
+
+
+@query("agg_corr_exact", oracle=_CORR_SQL)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + regression slope per group (#32 cont.) —
+    computed from exact decimal moments, not the builtin corr().
+
+    The builtin float corr/covar accumulates doubles in partition order
+    and is thus non-deterministic under repartitioning (and can never
+    hash-match another engine). Accumulating the five moments as exact
+    decimals and finishing with a fixed sequence of IEEE double ops makes
+    the statistic bit-reproducible at any parallelism — on both engines —
+    while still being one partial+final aggregate pass at 100 TB."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_CORR_SQL)

@@ -430,3 +430,32 @@ def win_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+_PCT_SQL = """
+    WITH nat_rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS nat_bal
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region,
+           CAST(nat_bal AS DOUBLE) AS nation_balance,
+           CAST(nat_bal AS DOUBLE)
+           / CAST(SUM(nat_bal) OVER (PARTITION BY region) AS DOUBLE) AS share_of_region
+    FROM nat_rev
+"""
+
+
+@query("win_percent_of_total", oracle=_PCT_SQL)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent via an unbounded window SUM (#36 cont.): each
+    nation's balance as a fraction of its region total. The window
+    partition carries only the pre-aggregated (nation, region) rows —
+    dimension-sized at any corpus scale — and the decimal window SUM is
+    exact, so the single final divide is deterministic cross-engine."""
+    for t in ("supplier", "nation", "region"):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PCT_SQL)
