@@ -506,3 +506,78 @@ def x_tree_depth_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return state.select(F.col("node").alias("doc_id"), F.col("d").alias("depth"))
+
+
+_CURRICULUM_STAGES = 4
+
+_CURR_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             NTILE({_CURRICULUM_STAGES}) OVER (ORDER BY n_chars, doc_id) AS stage,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, stage, shuffle_key,
+             ROW_NUMBER() OVER (PARTITION BY stage
+                                ORDER BY shuffle_key, doc_id) AS stage_pos,
+             COUNT(*) OVER (PARTITION BY stage) AS stage_size
+      FROM scored
+    ),
+    offsets AS (
+      SELECT stage, stage_size,
+             COALESCE(SUM(stage_size) OVER (ORDER BY stage
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stage_offset
+      FROM (SELECT DISTINCT stage, stage_size FROM staged)
+    )
+    SELECT s.doc_id, s.stage, s.stage_pos,
+           CAST(o.stage_offset + s.stage_pos AS BIGINT) AS global_pos
+    FROM staged s JOIN offsets o ON s.stage = o.stage
+"""
+
+
+@query("x_pack_curriculum", oracle=_CURR_SQL)
+def x_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: docs staged easy->hard by a difficulty proxy
+    (length quartile via NTILE), deterministically shuffled WITHIN each
+    stage (md5 of doc_id — reproducible, no RNG), then given a global
+    training position as stage_offset + in-stage rank.
+
+    The global order is never built with a global sort of the corpus: the
+    in-stage rank is a window partitioned BY STAGE, and the offsets table
+    is stage-count-sized (4 rows) — the same prefix-sum decomposition
+    x_pack_sequences uses, so the plan scales as a partitioned window +
+    broadcast join at 100 TB. (The NTILE stage assignment is the one
+    global-ordered window; at scale it becomes an approx-quantile cut on
+    the difficulty score — same output contract.)"""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.ntile(_CURRICULUM_STAGES)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    staged = scored.select(
+        "doc_id",
+        "stage",
+        F.row_number()
+        .over(Window.partitionBy("stage").orderBy("shuffle_key", "doc_id"))
+        .alias("stage_pos"),
+    )
+    sizes = staged.groupBy("stage").agg(F.count("*").alias("stage_size"))
+    offsets = sizes.select(
+        "stage",
+        F.coalesce(
+            F.sum("stage_size").over(
+                Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("stage_offset"),
+    )
+    return staged.join(F.broadcast(offsets), "stage").select(
+        "doc_id",
+        "stage",
+        "stage_pos",
+        (F.col("stage_offset") + F.col("stage_pos")).cast("bigint").alias("global_pos"),
+    )

@@ -666,3 +666,85 @@ def x_sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# -- multi-vector (late-interaction) retrieval ---------------------------
+
+_MV_TOKENS = 8  # token-vectors per pseudo-document (vec_id // 8)
+_MV_CORPUS_MAX = 400  # bounded corpus slice: constant cost at every sf
+
+_MAXSIM_SQL = f"""
+    WITH q AS (
+      SELECT vec_id // {_MV_TOKENS} AS q_doc, vec_id AS q_tok, embedding AS qemb
+      FROM embeddings WHERE vec_id < {2 * _MV_TOKENS}
+    ),
+    c AS (
+      SELECT vec_id // {_MV_TOKENS} AS c_doc, vec_id AS c_tok, embedding AS cemb
+      FROM embeddings
+      WHERE vec_id >= {2 * _MV_TOKENS} AND vec_id < {_MV_CORPUS_MAX}
+    ),
+    tok_best AS (
+      SELECT q.q_doc, c.c_doc, q.q_tok,
+             MAX({_sql_cosine('q.qemb', 'c.cemb')}) AS best_cos
+      FROM q CROSS JOIN c
+      GROUP BY q.q_doc, c.c_doc, q.q_tok
+    ),
+    doc_score AS (
+      SELECT q_doc, c_doc,
+             CAST(SUM(CAST(best_cos AS DECIMAL(18,12))) AS DOUBLE) AS maxsim
+      FROM tok_best GROUP BY q_doc, c_doc
+    )
+    SELECT q_doc, c_doc, maxsim, rn FROM (
+      SELECT q_doc, c_doc, maxsim,
+             ROW_NUMBER() OVER (PARTITION BY q_doc
+                                ORDER BY maxsim DESC, c_doc) AS rn
+      FROM doc_score
+    ) WHERE rn <= 3
+"""
+
+
+@query("x_sim_maxsim_multivector", oracle=_MAXSIM_SQL)
+def x_sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: documents are
+    BAGS of token vectors (pseudo-docs of 8 corpus vectors each); score =
+    sum over query tokens of the max cosine against any doc token. This is
+    the retrieval scoring a multi-vector index needs and none of the
+    single-vector ops express.
+
+    Shape: token-pair scoring is a broadcast of the (tiny) query token set
+    against the corpus token partitions; the two-level reduce (MAX per
+    query token, then SUM per doc pair) is two thin groupBys keyed by doc
+    ids — token vectors never ride a shuffle. Per-token maxes are rounded
+    to DECIMAL(18,12) before the final sum so the doc score is
+    order-independent and hash-checkable; at 100 TB the corpus side would
+    first prune candidates with ANN (x_sim_ann_*) and MaxSim-rescore only
+    survivors — this operator IS that rescorer."""
+    e = T(spark, sf_dir, "embeddings")
+    q = flat_emb(e.filter(F.col("vec_id") < 2 * _MV_TOKENS), "q_tok", "q").withColumn(
+        "q_doc", F.floor(F.col("q_tok") / _MV_TOKENS)
+    )
+    c = _parallelize(
+        flat_emb(
+            e.filter(
+                (F.col("vec_id") >= 2 * _MV_TOKENS) & (F.col("vec_id") < _MV_CORPUS_MAX)
+            ),
+            "c_tok",
+            "c",
+        ).withColumn("c_doc", F.floor(F.col("c_tok") / _MV_TOKENS))
+    )
+    cos = dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
+    tok_best = (
+        c.crossJoin(F.broadcast(q))
+        .select("q_doc", "c_doc", "q_tok", cos.alias("cos_sim"))
+        .groupBy("q_doc", "c_doc", "q_tok")
+        .agg(F.max("cos_sim").alias("best_cos"))
+    )
+    doc_score = tok_best.groupBy("q_doc", "c_doc").agg(
+        F.sum(F.col("best_cos").cast("decimal(18,12)")).cast("double").alias("maxsim")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("maxsim"), F.asc("c_doc"))
+    return (
+        doc_score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_doc", "c_doc", "maxsim", "rn")
+    )

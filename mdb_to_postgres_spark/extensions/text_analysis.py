@@ -589,3 +589,70 @@ def x_text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
     )
+
+
+_QG_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+_QG_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, n_chars,
+             len(l) AS n_tokens,
+             len(list_distinct(l)) AS uniq_tokens,
+             len(list_filter(l, t -> t IN ({", ".join(f"'{w}'" for w in _QG_STOPWORDS)}))) AS stop_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(uniq_tokens AS DOUBLE) / n_tokens AS ttr,
+           CAST(stop_tokens AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS mean_token_span,
+           (n_tokens >= 10 AND CAST(uniq_tokens AS DOUBLE) / n_tokens >= 0.30
+            AND CAST(stop_tokens AS DOUBLE) / n_tokens >= 0.01) AS keep,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN CAST(uniq_tokens AS DOUBLE) / n_tokens < 0.30 THEN 'repetitive'
+                WHEN CAST(stop_tokens AS DOUBLE) / n_tokens < 0.01 THEN 'unnatural'
+                ELSE 'ok' END AS reject_reason
+    FROM sig WHERE n_tokens > 0
+"""
+
+
+@query("x_text_quality_gate", oracle=_QG_SQL)
+def x_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (#65 cont.): the single filter stage a
+    training pipeline actually runs — length, type-token ratio and
+    stopword-density signals combined into one keep/drop verdict with the
+    first-failing reason attached (C4/Gopher-style rules).
+
+    Map-only over the corpus: every signal is computed from one tokenize
+    pass per row (no explode, no shuffle at all), so the gate streams at
+    scan speed at 100 TB. Integer counts + single IEEE divides keep the
+    verdict bit-deterministic cross-engine."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(_TOKS(), lambda t: t != "")
+    stop = F.filter(toks, lambda t: t.isin(*_QG_STOPWORDS))
+    sig = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("uniq_tokens"),
+        F.size(stop).alias("stop_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    ttr = F.col("uniq_tokens").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("stop_tokens").cast("double") / F.col("n_tokens")
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("mean_token_span"),
+        ((F.col("n_tokens") >= 10) & (ttr >= 0.30) & (stop_ratio >= 0.01)).alias("keep"),
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(ttr < 0.30, "repetitive")
+        .when(stop_ratio < 0.01, "unnatural")
+        .otherwise("ok")
+        .alias("reject_reason"),
+    )
