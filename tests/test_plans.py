@@ -243,3 +243,37 @@ def test_sql_q19_equi_join_with_residual(spark):
     plan = explain_str(QUERIES["sql_q19_discounted_revenue"](spark, ORACLE_SF))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_exists_forms_plan_as_semi_anti_joins(spark):
+    # Q4's EXISTS must decorrelate to a semi join; Q21's EXISTS + NOT
+    # EXISTS to one semi and one anti — never a per-row subquery loop or a
+    # nested-loop join.
+    q4 = explain_str(QUERIES["sql_q4_order_priority"](spark, ORACLE_SF))
+    assert "LeftSemi" in q4, q4
+    q21 = explain_str(QUERIES["sql_q21_waiting_supplier"](spark, ORACLE_SF))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
+    for plan in (q4, q21):
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_correlated_scalar_subqueries_decorrelate(spark):
+    # Q2 (MIN per part) and Q17 (0.2*AVG per part) must plan as aggregate
+    # + join on partkey, not re-executed scalar subqueries.
+    for name in ("sql_q2_min_cost_supplier", "sql_q17_small_quantity_revenue"):
+        plan = QUERIES[name](spark, ORACLE_SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Subquery" not in plan, (name, plan)
+        assert "HashAggregate" in plan and "Join" in plan, (name, plan)
+
+
+def test_q13_keeps_outer_join_semantics(spark):
+    # The priority filter must ride the join condition (zero-order
+    # customers survive as count 0), so the join stays LeftOuter.
+    plan = explain_str(QUERIES["sql_q13_customer_distribution"](spark, ORACLE_SF))
+    assert "LeftOuter" in plan, plan
+
+
+def test_quality_gate_is_map_only(spark):
+    # The composite gate must stream at scan speed: no Exchange at all.
+    plan = QUERIES["x_text_quality_gate"](spark, ORACLE_SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
