@@ -1,0 +1,146 @@
+"""Graph analytics over the document near-duplicate graph (SURVEY.md
+§2.12): PageRank and triangle counting as iterative/self-join DataFrame
+programs — the same substrate (shingle-Jaccard edges) the dedup tier
+already materializes, so the graph is free.
+
+Scale shapes:
+- PageRank: each iteration is one join (ranks -> edges on src) + one
+  groupBy(dst) — the textbook distributed formulation; contributions are
+  cast to exact decimals before the SUM so ranks are bit-deterministic at
+  any parallelism (float summation order never leaks into the result).
+  Fixed iteration count, localCheckpoint between rounds to cut lineage.
+- Triangles: ordered-edge three-way self-join (a<b<c) — each edge triple
+  is counted exactly once, and the join keys are thin (doc_id, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .dedup import _JACCARD_ORACLE, x_dedup_near_jaccard
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_DEC = "DECIMAL(28,15)"
+
+# The Jaccard pair query body, reusable as a CTE prefix: (doc_a, doc_b,
+# jaccard) with doc_a < doc_b.
+_PAIRS_CTE = f"pairs AS ({_JACCARD_ORACLE})"
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank: it0 = 1/N over edge-endpoint
+    nodes; each iteration sums exact-decimal contributions rank/out_deg
+    over in-edges. Every node in the undirected edge set has out-degree
+    >= 1, so there is no dangling mass to redistribute."""
+    its = []
+    prev = "it0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+      SELECT n.node,
+             (1 - {_PR_DAMP}) / (SELECT COUNT(*) FROM nodes)
+             + {_PR_DAMP} * COALESCE(c.contrib, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(p.rank / d.out_deg AS {_PR_DEC})) AS DOUBLE) AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        )
+        prev = f"it{i}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    it0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes),
+    {its_sql}
+    SELECT node AS doc_id, rank AS pagerank FROM {prev}
+    """
+
+
+@query("x_graph_pagerank", oracle=_pagerank_oracle())
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph: undirected
+    Jaccard edges, damping 0.85, fixed 3 iterations.
+
+    Each iteration is one thin join + one groupBy — per-iteration shuffle
+    bytes scale with edge count, never corpus bytes. Contributions are
+    cast to DECIMAL(28,15) before summation, so the rank vector is
+    bit-identical at any partitioning (and hash-checkable against the
+    unrolled-CTE oracle); the final (1-d)/N + d*contrib is the same IEEE
+    sequence on both engines. Restricted to edge-endpoint nodes: every
+    node has out-degree >= 1, so no dangling-mass term is needed."""
+    pairs = x_dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # scalar only: the (tiny) node-set size
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    src_deg = edges.join(deg, "src")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - _PR_DAMP) / n_nodes
+    for _ in range(_PR_ITERS):
+        contrib = (
+            src_deg.join(ranks, src_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).cast(_PR_DEC).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(_PR_DAMP) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH {_PAIRS_CTE},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+    SELECT e1.a AS doc_x, e1.b AS doc_y, e2.b AS doc_z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@query("x_graph_triangles", oracle=_TRIANGLE_ORACLE)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration in the similarity graph: ordered-edge
+    three-way self-join (x<y<z by construction, so each triangle appears
+    exactly once). The classic pre-clustering diagnostic — a triangle-rich
+    near-dup graph means transitive duplicate families that connected
+    components will merge. Joins carry only (doc_id, doc_id) pairs."""
+    e = (
+        x_dedup_near_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("a").alias("doc_x"), F.col("b").alias("doc_y"))
+    e2 = e.select(F.col("a").alias("doc_y"), F.col("b").alias("doc_z"))
+    e3 = e.select(F.col("a").alias("doc_x"), F.col("b").alias("doc_z"))
+    return e1.join(e2, "doc_y").join(e3, ["doc_x", "doc_z"]).select(
+        "doc_x", "doc_y", "doc_z"
+    )

@@ -585,3 +585,32 @@ def sql_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against recent orders, grouped on the derived code."""
     _views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_Q22)
+
+
+_Q11 = """
+    WITH supply AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))
+                 * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM supply
+    WHERE value > (SELECT SUM(value) * 0.001 FROM supply)
+"""
+
+
+@query("sql_q11_important_value", oracle=_Q11)
+def sql_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: lineitem
+    value stands in for partsupp stock. The structure is the point — group
+    to per-part values, then keep parts above a FRACTION OF THE GLOBAL
+    TOTAL via a scalar subquery over the same aggregate: both engines
+    evaluate the CTE once and broadcast the threshold; decimal totals make
+    the > comparison exact."""
+    _views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return spark.sql(_Q11)

@@ -183,6 +183,7 @@ def load_all() -> None:
     from .operators import aggregates, sort_setops  # noqa: F401
     from .extensions import udf_surface, multimodal, similarity  # noqa: F401
     from .operators import projection, joins, windows  # noqa: F401
+    from .extensions import graph  # noqa: F401  (reuses dedup's jaccard substrate)
 
     ordered = sorted(
         QUERIES.items(),
