@@ -19,11 +19,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..sources.tables import session_cache_get
 from .dedup import _JACCARD_ORACLE, x_dedup_near_jaccard
 
 _PR_DAMP = 0.85
 _PR_ITERS = 3
 _PR_DEC = "DECIMAL(28,15)"
+
+# The (doc_a, doc_b) similarity pair list is the substrate of every graph
+# query here — materialized once per (session, sf) like the shingle index
+# it derives from (at 100 TB this is the edge table a pipeline writes once
+# per corpus snapshot).
+_PAIR_CACHE: dict = {}
+
+
+def _sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_cache_get(
+        _PAIR_CACHE,
+        spark,
+        sf_dir,
+        lambda: x_dedup_near_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(),
+    )
 
 # The Jaccard pair query body, reusable as a CTE prefix: (doc_a, doc_b,
 # jaccard) with doc_a < doc_b.
@@ -81,11 +99,9 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE oracle); the final (1-d)/N + d*contrib is the same IEEE
     sequence on both engines. Restricted to edge-endpoint nodes: every
     node has out-degree >= 1, so no dangling-mass term is needed."""
-    pairs = x_dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
+    pairs = _sim_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar only: the (tiny) node-set size
@@ -133,11 +149,7 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once). The classic pre-clustering diagnostic — a triangle-rich
     near-dup graph means transitive duplicate families that connected
     components will merge. Joins carry only (doc_id, doc_id) pairs."""
-    e = (
-        x_dedup_near_jaccard(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
-    )
+    e = _sim_pairs(spark, sf_dir).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e1 = e.select(F.col("a").alias("doc_x"), F.col("b").alias("doc_y"))
     e2 = e.select(F.col("a").alias("doc_y"), F.col("b").alias("doc_z"))
     e3 = e.select(F.col("a").alias("doc_x"), F.col("b").alias("doc_z"))

@@ -600,7 +600,8 @@ _Q11 = """
     )
     SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
     FROM supply
-    WHERE value > (SELECT SUM(value) * 0.001 FROM supply)
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT 2.0 * (CAST(SUM(value) AS DOUBLE) / COUNT(*)) FROM supply)
 """
 
 
@@ -608,9 +609,11 @@ _Q11 = """
 def sql_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification), adapted: lineitem
     value stands in for partsupp stock. The structure is the point — group
-    to per-part values, then keep parts above a FRACTION OF THE GLOBAL
-    TOTAL via a scalar subquery over the same aggregate: both engines
-    evaluate the CTE once and broadcast the threshold; decimal totals make
-    the > comparison exact."""
+    to per-part values, then keep parts above a GLOBAL threshold computed
+    by a scalar subquery over the same aggregate: both engines evaluate
+    the CTE once and broadcast the scalar. (TPC-H's fixed global fraction
+    is itself SF-scaled — 0.0001/SF — so the sf-invariant restatement is
+    2x the mean part value; exact decimal sums feed one identical IEEE
+    divide+multiply on both engines.)"""
     _views(spark, sf_dir, ["lineitem", "supplier", "nation"])
     return spark.sql(_Q11)
