@@ -261,3 +261,55 @@ def test_fuzzy_names_blocking_never_misses_close_pairs(spark):
         if a.split(" ")[1] == b.split(" ")[1] and lev(a, b) <= 3
     }
     assert {(r.name_a, r.name_b) for _, r in got.iterrows()} == expect
+
+
+def test_curriculum_is_a_permutation(spark):
+    # global_pos must be a bijection onto 1..N and consistent with stages:
+    # every stage-k position precedes every stage-(k+1) position.
+    out = QUERIES["x_pack_curriculum"](spark, ORACLE_SF).toPandas()
+    n = len(out)
+    assert sorted(out.global_pos) == list(range(1, n + 1))
+    stage_max = out.groupby("stage").global_pos.max()
+    stage_min = out.groupby("stage").global_pos.min()
+    for s in range(1, int(out.stage.max())):
+        assert stage_max[s] < stage_min[s + 1]
+
+
+def test_quality_gate_reason_consistent_with_keep(spark):
+    out = QUERIES["x_text_quality_gate"](spark, ORACLE_SF).toPandas()
+    assert ((out.reject_reason == "ok") == out.keep).all()
+    # thresholds actually bind in the verdict
+    bad = out[~out.keep]
+    for _, r in bad.iterrows():
+        assert r.n_tokens < 10 or r.ttr < 0.30 or r.stop_ratio < 0.01
+
+
+def test_pagerank_mass_conserved(spark):
+    # No dangling nodes (every node in the edge set has out-degree >= 1),
+    # so total rank stays 1 after every iteration.
+    out = QUERIES["x_graph_pagerank"](spark, ORACLE_SF).toPandas()
+    assert abs(out.pagerank.sum() - 1.0) < 1e-9, out.pagerank.sum()
+    assert (out.pagerank > 0).all()
+
+
+def test_triangles_are_real_and_ordered(spark):
+    tri = QUERIES["x_graph_triangles"](spark, ORACLE_SF).toPandas()
+    pairs = set(
+        zip(*QUERIES["x_dedup_near_jaccard"](spark, ORACLE_SF).toPandas()[["doc_a", "doc_b"]].T.values)
+    )
+    for _, t in tri.iterrows():
+        assert t.doc_x < t.doc_y < t.doc_z
+        assert (t.doc_x, t.doc_y) in pairs
+        assert (t.doc_y, t.doc_z) in pairs
+        assert (t.doc_x, t.doc_z) in pairs
+
+
+def test_maxsim_bounded_by_token_count(spark):
+    # MaxSim is a sum of _MV_TOKENS per-token maxima of cosines, so
+    # |score| <= token count; and rn ranks scores descending per query.
+    out = QUERIES["x_sim_maxsim_multivector"](spark, ORACLE_SF).toPandas()
+    from mdb_to_postgres_spark.extensions.similarity import _MV_TOKENS
+    assert (out.maxsim.abs() <= _MV_TOKENS).all()
+    for _, grp in out.groupby("q_doc"):
+        g = grp.sort_values("rn")
+        assert (g.maxsim.diff().dropna() <= 1e-12).all()
