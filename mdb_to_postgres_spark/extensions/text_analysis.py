@@ -76,13 +76,20 @@ def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = d.count()
+    # Corpus size folded INTO the plan (single-row aggregate, broadcast
+    # onto the join) rather than an eager .count() at plan-construction
+    # time that scanned the corpus before the query ever ran — mirroring
+    # the oracle's `CROSS JOIN n` CTE exactly (same fix as x_corpus_drift).
+    n = d.agg(F.count("*").alias("n_docs"))
     out = (
         tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
             ),
         )
         .filter(F.col("doc_id") < 100)
