@@ -581,3 +581,49 @@ def x_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_pos",
         (F.col("stage_offset") + F.col("stage_pos")).cast("bigint").alias("global_pos"),
     )
+
+
+_REBALANCE_SQL = """
+    WITH s AS (
+      SELECT source, COUNT(*) AS docs,
+             CAST(SUM(CEIL(n_chars / 4.0)) AS BIGINT) AS est_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(est_tokens) AS all_tokens, COUNT(*) AS n_sources FROM s)
+    SELECT s.source, s.docs, s.est_tokens,
+           CAST(s.est_tokens AS DOUBLE) / tot.all_tokens AS token_share,
+           LEAST(1.0, (CAST(tot.all_tokens AS DOUBLE) / tot.n_sources)
+                      / s.est_tokens) AS keep_rate
+    FROM s CROSS JOIN tot
+"""
+
+
+@query("x_mix_rebalance_tokens", oracle=_REBALANCE_SQL)
+def x_mix_rebalance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture rebalancing (#80 cont.): compute each source's
+    token share and the downsampling rate that equalizes token budgets
+    across sources (rate = min(1, uniform_target / actual)). The output
+    is the mixing table a sampler joins back onto the corpus (each doc
+    kept when its md5 band < keep_rate, as x_sample_stratified does) —
+    source-level cardinality, so the plan is one groupBy plus a broadcast
+    single-row total at any corpus size; integer-exact token sums feed
+    single IEEE divides."""
+    d = T(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).cast("bigint").alias("est_tokens"),
+    )
+    tot = s.agg(
+        F.sum("est_tokens").alias("all_tokens"), F.count("*").alias("n_sources")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "est_tokens",
+        (F.col("est_tokens").cast("double") / F.col("all_tokens")).alias("token_share"),
+        F.least(
+            F.lit(1.0),
+            (F.col("all_tokens").cast("double") / F.col("n_sources"))
+            / F.col("est_tokens"),
+        ).alias("keep_rate"),
+    )

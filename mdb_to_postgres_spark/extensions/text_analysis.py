@@ -663,3 +663,56 @@ def x_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("reject_reason"),
     )
+
+
+_ENTROPY_SQL = """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab,
+           ROUND(CAST(SUM(CAST(ROUND(
+                 -(CAST(c AS DOUBLE) / n.n) * LOG2(CAST(c AS DOUBLE) / n.n), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS token_entropy
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY tf.doc_id, n.n
+"""
+
+
+@query("x_text_token_entropy", oracle=_ENTROPY_SQL)
+def x_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution (#65 cont.) — the
+    classic repetition/diversity quality signal (low entropy = dominated
+    by few tokens; pairs with x_text_repetition_quality's TTR).
+
+    Determinism discipline follows x_text_bigram_score: each per-term
+    -p*log2(p) contribution is rounded to 6 decimals and accumulated as
+    exact DECIMAL(18,6), so the float SUM order never leaks into the
+    result (log2 agrees across libms to <=1 ulp, far inside the
+    rounding). One explode + two doc-keyed aggregations — partition-local
+    after a single shuffle."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term_h = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(F.sum(term_h).cast("double"), 6).alias("token_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "vocab",
+            "token_entropy",
+        )
+    )

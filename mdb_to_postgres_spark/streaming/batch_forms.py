@@ -291,3 +291,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "click_id", "purchase_id", (F.col("b_sec") - F.col("a_sec")).alias("gap_sec")
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, value, {_EV_SEC} AS ts_sec, event_id FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_type, value, ts_sec, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_sec DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT user_id, value AS last_value, ts_sec AS last_ts_sec
+    FROM ranked WHERE rn = 1 AND event_type <> 'click'
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / streaming upsert (#58 cont.): the event stream is a
+    change feed keyed by user — every event upserts the user's state,
+    'click' acts as the delete marker — and the result is the FINAL table
+    after replaying the feed in (ts_sec, event_id) order: last writer
+    wins, deleted keys absent.
+
+    Batch form: one window top-1 per key (single shuffle on user_id).
+    Streaming twin: runtime.run_cdc_upsert applies the same feed through
+    foreachBatch MERGE semantics — reduce each micro-batch to its latest
+    row per key, merge into the state store keeping the (ts_sec,
+    event_id)-max — and the test asserts the two converge, which is
+    exactly the idempotence contract a production JDBC/Delta MERGE sink
+    must satisfy."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "value", "ts_sec", "event_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_sec"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "click"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("ts_sec").alias("last_ts_sec"),
+        )
+    )

@@ -302,3 +302,75 @@ def click_purchase_join(spark: SparkSession, sf_dir: str, band_sec: int = 600) -
     )
     gap = (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_sec")
     return joined.select("click_id", "purchase_id", gap)
+
+
+def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of batch_forms.stream_cdc_upsert: the event feed is
+    applied through foreachBatch MERGE semantics.
+
+    Each micro-batch is first reduced to its own latest row per key (the
+    in-batch combine a MERGE sink needs for correctness when a key occurs
+    twice in one batch), then merged into the parquet state store keeping
+    the (ts_sec, event_id)-max row per key; 'click' rows persist as
+    tombstones so a later batch's stale update cannot resurrect a deleted
+    key, and the final read filters them out. Overwrite-per-batch of the
+    (user-count-sized) state table is the idempotent-restart pattern; a
+    production sink does the same via JDBC/Delta MERGE."""
+    import tempfile as _tf
+
+    from pyspark.sql.window import Window as _W
+
+    state_dir = _tf.mkdtemp(prefix="cdc_state_")
+    state_cur = os.path.join(state_dir, "cur")
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_seconds(F.col("ts")).alias("ts_sec"),
+        "event_id",
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = _W.partitionBy("user_id").orderBy(F.desc("ts_sec"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sess = batch_df.sparkSession
+        if os.path.exists(state_cur):
+            prev = sess.read.parquet(state_cur)
+            merged = (
+                prev.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        nxt = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        # atomic-enough pointer swap for the test harness: the next batch
+        # reads whatever `cur` points at
+        tmp_link = state_cur + ".tmp"
+        if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(nxt, tmp_link)
+        os.replace(tmp_link, state_cur)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state_cur)
+    return final.filter(F.col("event_type") != "click").select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("ts_sec").alias("last_ts_sec"),
+    )

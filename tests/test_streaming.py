@@ -182,3 +182,11 @@ def test_stream_stream_join_equals_batch(spark):
     got = runtime.run_to_memory(spark, stream_df, "t_ss_join", "append").toPandas()
     want = QUERIES["stream_stream_join"](spark, ORACLE_SF).toPandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_cdc_upsert_stream_equals_batch(spark):
+    # The foreachBatch MERGE twin must converge to the batch replay: same
+    # surviving keys, same last values/timestamps.
+    got = runtime.run_cdc_upsert(spark, ORACLE_SF).toPandas()
+    want = QUERIES["stream_cdc_upsert"](spark, ORACLE_SF).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
