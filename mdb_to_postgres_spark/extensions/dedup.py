@@ -370,47 +370,43 @@ def _simhash_oracle() -> str:
     """
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str, h_col) -> DataFrame:
-    """Shared SimHash topology: token -> 60-bit hash (``h_col``) -> per-bit
-    +/-1 sums -> sign signature -> 15-bit chunk blocking (pigeonhole for
-    Hamming distance <= 3) -> exact popcount filter. The two registered
-    variants differ only in the token-hash kernel."""
+def _simhash_pairs(spark: SparkSession, sf_dir: str, h_sql: str) -> DataFrame:
+    """Shared SimHash topology: token -> 60-bit hash (``h_sql``, a SQL
+    expression over column ``tok``) -> per-bit +/-1 sums -> sign signature
+    -> 15-bit chunk blocking (pigeonhole for Hamming distance <= 3) ->
+    exact popcount filter. The two registered variants differ only in the
+    token-hash kernel.
+
+    The 60-way bit-sum aggregate and the 60-term signature are built as
+    single SQL strings parsed JVM-side: constructing them as nested Column
+    trees cost 2-5 s of py4j round-trips + Catalyst analysis per plan
+    build at this width (measured round 4; same class of fix as the
+    round-2 unrolled-F.expr dot product)."""
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_TOKS()).alias("tok"))
-    h = tok.select("doc_id", h_col.alias("h"))
-    bit_sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
+    h = tok.select("doc_id", F.expr(h_sql).alias("h"))
+    # shiftright() function form, not the ``>>`` operator: inside array(...)
+    # the lexer resolves ``>>`` as the ARRAY<...>> type-closing token and
+    # raises PARSE_SYNTAX_ERROR.
+    bit_sum_arr = ", ".join(
+        f"sum(case when shiftright(h, {b}) & 1 = 1 then 1 else -1 end)"
+        for b in range(_SIMHASH_BITS)
     )
-    sim = bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-                * F.shiftleft(F.lit(1).cast("long"), b)
-                for b in range(_SIMHASH_BITS)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    bit_sums = h.groupBy("doc_id").agg(F.expr(f"array({bit_sum_arr})").alias("bsum"))
+    sig_sql = " + ".join(
+        f"(case when bsum[{b}] > 0 then cast({1 << b} as bigint) else cast(0 as bigint) end)"
+        for b in range(_SIMHASH_BITS)
     )
+    sim = bit_sums.select("doc_id", F.expr(sig_sql).alias("simhash"))
     width = _SIMHASH_BITS // _SIMHASH_CHUNKS
+    chunk_arr = ", ".join(
+        f"shiftrightunsigned(simhash, {width * c}) & {(1 << width) - 1}"
+        for c in range(_SIMHASH_CHUNKS)
+    )
     chunks = sim.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for c in range(_SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("chunk_id", "chunk_val"),
+        F.posexplode(F.expr(f"array({chunk_arr})")).alias("chunk_id", "chunk_val"),
     )
     cand = (
         chunks.alias("x")
@@ -440,7 +436,7 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(
         spark,
         sf_dir,
-        h_col=F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+        h_sql="cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)",
     )
 
 
@@ -456,7 +452,7 @@ def x_dedup_simhash_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(
         spark,
         sf_dir,
-        h_col=F.shiftrightunsigned(F.xxhash64("tok"), 64 - _SIMHASH_BITS),
+        h_sql=f"shiftrightunsigned(xxhash64(tok), {64 - _SIMHASH_BITS})",
     )
 
 

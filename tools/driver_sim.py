@@ -7,6 +7,7 @@ the DuckDB oracle side-by-side, compares rows/schema/value-hash with a
 driver-style pandas canonicalizer (which dies on list cells, as the real
 one does), and prints per-query wall time so the registration-order
 budget can be audited. Usage: python tools/driver_sim.py [sf_dir]
+[--only name1,name2] (or a name substring) to check a subset.
 """
 
 from __future__ import annotations
@@ -35,13 +36,21 @@ def vhash(pdf) -> str:
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if n in only or any(s in n for s in only)}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
