@@ -230,16 +230,10 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> DataFrame:
-    """Shared banded-LSH topology (#60, scale variant): shingle -> base
-    BIGINT hash (``h_col``) -> 32 affine universal minhashes -> 8 bands of
-    4 -> bucket join on (band, band-signature via ``band_sig``) -> exact
-    Jaccard verification of candidates only. Everything is DataFrame ops:
-    the signature build is one groupBy over the shingle index; candidate
-    generation touches only bucket collisions. The banded-join shape, not
-    the hash kernel, is what carries to 100 TB — the two registered
-    variants below differ ONLY in the kernel plugged in here."""
-    sh = doc_shingles(spark, sf_dir)
+def _minhash_bands(sh: DataFrame, h_col, band_sig) -> DataFrame:
+    """(doc_id, band, band_sig) banded index rows from a shingle index:
+    shingle -> base BIGINT hash (``h_col``) -> 32 affine universal
+    minhashes -> 8 band signatures of 4 rows each."""
     hb = sh.select("doc_id", h_col.alias("h"))
     sig = hb.groupBy("doc_id").agg(
         *[
@@ -248,7 +242,7 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> Dat
         ]
     )
     rows_per_band = _N_HASHES // _N_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -261,14 +255,10 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> Dat
             )
         ).alias("band", "band_sig"),
     )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # Exact verification on the candidate set only.
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard over the candidate pairs only (never all-pairs)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -290,6 +280,27 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> Dat
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> DataFrame:
+    """Shared banded-LSH topology (#60, scale variant): shingle ->
+    banded signature index (_minhash_bands) -> bucket join on (band,
+    band_sig) -> exact Jaccard verification of candidates only
+    (_verify_jaccard). Everything is DataFrame ops: the signature build
+    is one groupBy over the shingle index; candidate generation touches
+    only bucket collisions. The banded-join shape, not the hash kernel,
+    is what carries to 100 TB — the two registered variants below differ
+    ONLY in the kernel plugged in here."""
+    sh = doc_shingles(spark, sf_dir)
+    bands = _minhash_bands(sh, h_col, band_sig)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(sh, cand)
+
+
 @query("x_dedup_minhash_lsh", oracle=_minhash_oracle())
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup, cross-engine-checkable kernel.
@@ -307,6 +318,52 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", *[c.cast("string") for c in cols])
         ),
     )
+
+
+@query(
+    "x_dedup_minhash_incremental",
+    oracle=f"""
+    SELECT * FROM ({_minhash_oracle()})
+    WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+    """,
+)
+def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index maintenance (#60 cont.): when a delta of
+    new documents arrives (simulated here as doc_id % 10 = 7), only the
+    DELTA's signatures are computed — a per-doc aggregation over just the
+    new docs' shingles — and probed against the existing banded index
+    plus themselves. Base-base pairs are never re-examined, so the
+    per-batch cost is O(delta + collisions), not O(corpus): the property
+    that lets a 100 TB dedup index absorb daily arrivals without nightly
+    rebuilds (in production the base index is a persisted (doc_id, band,
+    band_sig) table; bucket it on band_sig and the probe join is
+    shuffle-free on the base side).
+
+    MinHash signatures are per-doc, so delta signatures computed in
+    isolation are bit-identical to a full rebuild's — the oracle is the
+    FULL pipeline restricted to pairs touching a delta doc, and the hash
+    check proves the incremental path loses nothing."""
+    sh = doc_shingles(spark, sf_dir)
+    h_col = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+
+    def band_sig(cols):
+        return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+
+    is_delta = F.col("doc_id") % 10 == 7
+    base_bands = _minhash_bands(sh.filter(~is_delta), h_col, band_sig)
+    delta_bands = _minhash_bands(sh.filter(is_delta), h_col, band_sig)
+    merged = base_bands.unionByName(delta_bands)
+    cand = (
+        delta_bands.alias("x")
+        .join(merged.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(sh, cand)
 
 
 @query("x_dedup_minhash_lsh_xxh")  # rows-only: xxhash64 has no DuckDB twin

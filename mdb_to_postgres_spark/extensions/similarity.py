@@ -748,3 +748,185 @@ def x_sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_doc", "c_doc", "maxsim", "rn")
     )
+
+
+# --- IVF-PQ: product-quantization codebook over the flat substrate ------
+
+_PQ_M = 8  # subspaces
+_PQ_D = DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # codes per subspace; codebook rows = corpus seeds vec_id 20..35
+_PQ_SHORTLIST = 64  # ADC shortlist size handed to exact rescoring
+
+
+def _pq_l2_sql(va: str, vb: str) -> str:
+    """Left-associated squared-L2 over _PQ_D flat column pairs — identical
+    fold order in both engines."""
+    return " + ".join(f"({va}{j} - {vb}{j}) * ({va}{j} - {vb}{j})" for j in range(_PQ_D))
+
+
+def _pq_oracle() -> str:
+    # Unit-normalize BEFORE quantizing: on unit vectors L2^2 = 2 - 2*cos,
+    # so ADC distance ranking is monotone to the cosine ranking exact KNN
+    # uses. Same left-fold norm as the Spark side for bit agreement.
+    norm = "SQRT(" + " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i in range(DIM)
+    ) + ")"
+    sub = lambda m_expr, j: f"(CAST(embedding[{m_expr} * {_PQ_D} + {j} + 1] AS DOUBLE) / nrm)"
+    cb_cols = ", ".join(f"{sub('m.m', j)} AS cb{j}" for j in range(_PQ_D))
+    v_cols = ", ".join(f"{sub('m.m', j)} AS v{j}" for j in range(_PQ_D))
+    q_cols = ", ".join(f"{sub('m.m', j)} AS q{j}" for j in range(_PQ_D))
+    return f"""
+    WITH ms AS (SELECT UNNEST(range({_PQ_M})) AS m),
+    nv AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    cb AS (
+      SELECT vec_id - 20 AS k, m.m AS m, {cb_cols}
+      FROM nv, ms m WHERE vec_id >= 20 AND vec_id < {20 + _PQ_K}
+    ),
+    sub AS (
+      SELECT vec_id AS neighbor_id, m.m AS m, {v_cols}
+      FROM nv, ms m WHERE vec_id >= 20
+    ),
+    enc AS (
+      SELECT neighbor_id, m, k AS code FROM (
+        SELECT s.neighbor_id, s.m, cb.k,
+               ROW_NUMBER() OVER (PARTITION BY s.neighbor_id, s.m
+                                  ORDER BY {_pq_l2_sql('v', 'cb')} ASC, cb.k ASC) AS rn
+        FROM sub s JOIN cb ON s.m = cb.m
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, m.m AS m, {q_cols}
+      FROM nv, ms m WHERE vec_id < 20
+    ),
+    dtab AS (
+      SELECT q.query_id, cb.m, cb.k,
+             ROUND({_pq_l2_sql('q', 'cb')}, 9) AS d
+      FROM qsub q JOIN cb ON q.m = cb.m
+    ),
+    adc AS (
+      SELECT d.query_id, e.neighbor_id,
+             CAST(SUM(CAST(d.d AS DECIMAL(28,9))) AS DOUBLE) AS pq_dist
+      FROM enc e JOIN dtab d ON e.m = d.m AND e.code = d.k
+      GROUP BY d.query_id, e.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pq_dist ASC, neighbor_id ASC) AS arn
+        FROM adc
+      ) WHERE arn <= {_PQ_SHORTLIST}
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 20),
+    cv AS (SELECT vec_id AS neighbor_id, embedding AS cemb FROM embeddings WHERE vec_id >= 20),
+    resc AS (
+      SELECT s.query_id, s.neighbor_id, {_sql_cosine('q.qemb', 'c.cemb')} AS cos_sim
+      FROM short s JOIN qv q USING (query_id) JOIN cv c USING (neighbor_id)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM resc
+    ) WHERE rn <= 5
+    """
+
+
+@query("x_sim_ann_ivf_pq", oracle=_pq_oracle())
+def x_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the IVF substrate (#62 cont., IVF-PQ):
+    64-dim vectors are split into 8 sub-vectors of 8 dims; each sub-vector
+    is encoded as the index of its nearest codebook entry (16 codes per
+    subspace — here a deterministic codebook stub taken from corpus seeds
+    vec_id 20..35; a trained deployment plugs the k-means path in
+    x_sim_ann_ivf_kmeans into the same shape). A vector becomes 8 small
+    codes — 64 doubles -> 8 bytes, the 64x compression that lets a 100 TB
+    embedding corpus fit scan-resident — and query scoring is ADC: one
+    (query, subspace, code) distance table of M*K rows per query,
+    broadcast, then approximate distance = SUM of 8 looked-up entries,
+    accumulated as ROUND(...,9) DECIMAL so the float add order never
+    leaks into ranking. Vectors are unit-normalized before quantization
+    (L2 on unit vectors is monotone to cosine), the ADC ranking keeps a
+    64-deep shortlist, and full-precision cosine rescores only
+    the shortlist — the standard IVF-PQ deployment split of cheap scan +
+    exact tail.
+
+    Everything shuffles thin: encoding is (neighbor_id, m, code) via
+    min_by over a broadcast 128-row codebook; after the one-time encode
+    the only full vectors touched are the ~64 shortlisted rows
+    per query. Recall vs exact KNN is bounded by the 16-entry codebook
+    STUB (tests measure it; a trained k-means codebook — see
+    x_sim_ann_ivf_kmeans — is the production fit on real data)."""
+    e = T(spark, sf_dir, "embeddings")
+
+    norm_sql = "SQRT(" + " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)" for i in range(DIM)
+    ) + ")"
+
+    def subspaces(df: DataFrame, id_in: str, id_out: str, prefix: str) -> DataFrame:
+        # unit-normalized values: see _pq_oracle on why (cosine monotone)
+        structs = ", ".join(
+            "struct("
+            + ", ".join(
+                f"(CAST(embedding[{m * _PQ_D + j}] AS DOUBLE) / nrm) AS {prefix}{j}"
+                for j in range(_PQ_D)
+            )
+            + ")"
+            for m in range(_PQ_M)
+        )
+        return (
+            df.withColumn("nrm", F.expr(norm_sql))
+            .select(
+                F.col(id_in).alias(id_out),
+                F.posexplode(F.expr(f"array({structs})")).alias("m", "s"),
+            )
+            .select(id_out, "m", "s.*")
+        )
+
+    cb = subspaces(
+        e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 20 + _PQ_K)), "vec_id", "kid", "cb"
+    ).select((F.col("kid") - 20).alias("k"), "m", *[f"cb{j}" for j in range(_PQ_D)])
+    sub = subspaces(e.filter(F.col("vec_id") >= 20), "vec_id", "neighbor_id", "v")
+    l2 = F.expr(_pq_l2_sql("v", "cb"))
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select("neighbor_id", "m", "k", l2.alias("l2"))
+        .groupBy("neighbor_id", "m")
+        .agg(F.min_by("k", F.struct("l2", "k")).alias("code"))
+    )
+    qsub = subspaces(e.filter(F.col("vec_id") < 20), "vec_id", "query_id", "q")
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "k", F.round(F.expr(_pq_l2_sql("q", "cb")), 9).alias("d")
+    )
+    adc = (
+        enc.join(F.broadcast(dtab), (enc.m == dtab.m) & (enc.code == dtab.k))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d").cast("decimal(28,9)")).cast("double").alias("pq_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("pq_dist"), F.asc("neighbor_id"))
+    short = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact rescoring of the ADC shortlist only — the standard IVF-PQ
+    # deployment shape: PQ prunes the corpus ~50x, full-precision cosine
+    # ranks the survivors.
+    corpus = flat_corpus(spark, sf_dir)
+    qf = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
+    resc = (
+        short.join(corpus, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        resc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

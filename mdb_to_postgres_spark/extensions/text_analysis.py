@@ -716,3 +716,54 @@ def x_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy",
         )
     )
+
+
+_QGRAM_SQL = """
+WITH s AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) >= 3
+),
+qg AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+  FROM s, LATERAL (SELECT UNNEST(range(1, length(t) - 1)) AS i)
+),
+cnt AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM qg GROUP BY doc_id, g
+)
+SELECT doc_id,
+       SUM(c) AS n_qgrams,
+       COUNT(*) AS distinct_qgrams,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+FROM cnt GROUP BY doc_id
+"""
+
+
+@query("x_text_qgram_spectrum", oracle=_QGRAM_SQL)
+def x_text_qgram_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram spectrum quality score (#65 cont.): per-doc q-gram
+    diversity (distinct/total) and repetitiveness (share of the modal
+    q-gram) — the char-level complement to token entropy; low
+    distinct_ratio or high top_share flags boilerplate/keyboard-mash.
+
+    Shape: one generator projection (transform over a sequence — no UDF,
+    stays in codegen) then two doc-keyed aggregations on one shuffle.
+    Guard: docs shorter than 3 chars are dropped BEFORE the sequence()
+    (start > stop would step backward). Ratios are exact-integer
+    divisions rounded to 6 decimals, so cross-engine float agreement is
+    structural."""
+    d = T(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.lower("text").alias("t")).filter(F.length("t") >= 3)
+    qg = s.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("g"),
+    )
+    cnt = qg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tot = F.sum("c").cast("double")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_qgrams"),
+        F.count("*").alias("distinct_qgrams"),
+        F.round(F.count("*").cast("double") / tot, 6).alias("distinct_ratio"),
+        F.round(F.max("c").cast("double") / tot, 6).alias("top_share"),
+    )

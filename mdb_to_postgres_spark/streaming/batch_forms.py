@@ -336,3 +336,41 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_sec").alias("last_ts_sec"),
         )
     )
+
+
+@query(
+    "stream_window_approx_distinct",
+    oracle=f"""
+    SELECT ({_EV_SEC} // 3600) * 3600 AS window_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user cardinality, sketch + exact twin (#53 cont.).
+
+    Per tumbling hour: exact COUNT(DISTINCT) hash-checks against the
+    oracle, and the HyperLogLog++ estimate is folded into a boolean
+    accuracy bound (same contract as agg_approx_distinct_exact — at
+    rsd=0.01 HLL++ stays in exact sparse mode at these per-window
+    cardinalities, so the 5% bound is an invariant, not a tolerance).
+    The sketch is the 100 TB path: per-window HLL buffers merge across
+    partitions, so the shuffle carries fixed-size sketches instead of
+    every distinct user id; in Structured Streaming the same aggregate
+    runs incrementally over the watermark-bounded state store."""
+    e = _events(spark, sf_dir)
+    a = F.approx_count_distinct("user_id", 0.01).cast("double")
+    ex = F.count_distinct("user_id")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            ex.alias("exact_users"),
+            (F.abs(a - ex.cast("double")) / ex.cast("double") < 0.05).alias("hll_within_5pct"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "exact_users",
+            "hll_within_5pct",
+        )
+    )

@@ -26,13 +26,25 @@ def _history_names() -> set[str]:
 
 def test_never_checked_queries_lead_the_window():
     # Every registered query without any driver row must sit inside the
-    # driver's 50-entry window, ahead of already-green entries.
+    # driver's 50-entry window, ahead of already-green entries — unless
+    # there are more unchecked queries than the window holds, in which
+    # case the window must be packed solid with them (no green query may
+    # occupy a slot an unchecked one needs) and the overflow drains on
+    # the next rotation.
     order = list(registry.QUERIES)
     checked = _history_names()
     unchecked = [n for n in order if n not in checked]
     assert unchecked, "all queries have driver rows — rotation converged"
-    worst = max(order.index(n) for n in unchecked)
-    assert worst < 50, (worst, unchecked)
+    if len(unchecked) <= 50:
+        worst = max(order.index(n) for n in unchecked)
+        assert worst < 50, (worst, unchecked)
+    else:
+        assert all(n in unchecked for n in order[:50]), [
+            n for n in order[:50] if n not in unchecked
+        ]
+        # and the overflow is contiguous right behind the window
+        worst = max(order.index(n) for n in unchecked)
+        assert worst < len(unchecked), (worst, len(unchecked))
 
 
 def test_rank_scale():
