@@ -767,3 +767,110 @@ def x_text_qgram_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("*").cast("double") / tot, 6).alias("distinct_ratio"),
         F.round(F.max("c").cast("double") / tot, 6).alias("top_share"),
     )
+
+
+# --- Count-min sketch heavy hitters -------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+
+
+def _cms_bucket_sql(d: int, tok_expr: str, duck: bool) -> str:
+    if duck:
+        return (
+            f"(('0x' || substr(md5('cms{d}:' || {tok_expr}), 1, 15))::BIGINT % {_CMS_W})"
+        )
+    return (
+        f"(cast(conv(substring(md5(concat('cms{d}:', {tok_expr})), 1, 15), 16, 10)"
+        f" as bigint) % {_CMS_W})"
+    )
+
+
+def _cms_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_sql(d, 'term', True)} AS b, COUNT(*) AS c"
+        f" FROM tok GROUP BY 2"
+        for d in range(_CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT term, exact, {d} AS d, {_cms_bucket_sql(d, 'term', True)} AS b FROM vocab"
+        for d in range(_CMS_D)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tok2 AS (SELECT term FROM tok WHERE term <> ''),
+    total AS (SELECT COUNT(*) AS n FROM tok2),
+    cms AS ({cells.replace('FROM tok ', 'FROM tok2 ')}),
+    vocab AS (SELECT term, COUNT(*) AS exact FROM tok2 GROUP BY term),
+    probe AS ({probes}),
+    est AS (
+      SELECT p.term, p.exact, MIN(c.c) AS est_count
+      FROM probe p JOIN cms c ON p.d = c.d AND p.b = c.b
+      GROUP BY p.term, p.exact
+    )
+    SELECT e.term, e.est_count, e.exact AS exact_count,
+           e.est_count - e.exact AS overcount
+    FROM est e, total t
+    WHERE e.est_count * 200 >= t.n
+    """
+
+
+@query("x_text_heavy_hitters_cms", oracle=_cms_oracle())
+def x_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a count-min sketch (#63 cont.): tokens
+    whose CMS estimate is >= 0.5% of the corpus token count. The sketch is
+    4x1024 = 4096 integer cells REGARDLESS of corpus size — each cell is
+    a partial-aggregable SUM, so at 100 TB the sketch merges map-side and
+    broadcasts, and membership probes are 4 lookups against a 4 KB-scale
+    table (the streaming twin is the same cells as an incrementally
+    updated state store). Estimates only ever overcount (structural:
+    min over rows of bucket sums >= the token's own count), so the
+    threshold can never miss a true heavy hitter; exact counts ride along
+    here to quantify the overcount. Deterministic md5 bucket hashes make
+    the whole sketch cross-engine hash-checkable; the integer threshold
+    compare (est*200 >= total) avoids float entirely.
+
+    The demo probes the full vocabulary (exact counts are computed anyway
+    for the comparison); production probes only an a-priori candidate
+    set or the sketch's paired top-k heap."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
+    cells = tok.select(
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(_cms_bucket_sql(dd, "term", False) for dd in range(_CMS_D))
+                + ")"
+            )
+        ).alias("d", "b")
+    ).groupBy("d", "b").agg(F.count("*").alias("c"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("exact"))
+    probe = vocab.select(
+        "term",
+        "exact",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(_cms_bucket_sql(dd, "term", False) for dd in range(_CMS_D))
+                + ")"
+            )
+        ).alias("d", "b"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["d", "b"])
+        .groupBy("term", "exact")
+        .agg(F.min("c").alias("est_count"))
+    )
+    total = tok.agg(F.count("*").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * 200 >= F.col("n"))
+        .select(
+            "term",
+            "est_count",
+            F.col("exact").alias("exact_count"),
+            (F.col("est_count") - F.col("exact")).alias("overcount"),
+        )
+    )

@@ -497,3 +497,43 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     while still being one partial+final aggregate pass at 100 TB."""
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_CORR_SQL)
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CASE WHEN CAST(l_extendedprice AS DOUBLE) < 0.0 THEN 0
+                WHEN CAST(l_extendedprice AS DOUBLE) >= 60000.0 THEN 13
+                ELSE CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS BIGINT) + 1
+           END AS bin,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS bin_min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS bin_max
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (#32 cont.): 12 fixed bins
+    over [0, 60000) plus the under/overflow buckets 0 and 13 — the shape
+    behind data-profiling and range-partition planning. Fixed bounds (not
+    data-derived min/max) keep the binning sf-invariant and one-pass; a
+    bounds-unknown profile runs agg_stats first. DuckDB has no
+    width_bucket, so the oracle spells out Spark's exact internal formula
+    (floor((x - lo) / ((hi - lo) / n)) + 1, same IEEE ops, so boundary
+    values bin identically). Map-side partials: the
+    shuffle carries at most 14 rows per partition at any corpus size."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bin",
+            F.expr("width_bucket(CAST(l_extendedprice AS DOUBLE), 0.0D, 60000.0D, 12)"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.min("l_extendedprice").cast("double").alias("bin_min"),
+            F.max("l_extendedprice").cast("double").alias("bin_max"),
+        )
+    )

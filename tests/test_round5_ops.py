@@ -80,3 +80,32 @@ def test_ivf_pq_recall_vs_exact_knn(spark):
         total += len(exact_top)
     assert total > 0
     assert hits / total >= 0.4, (hits, total)
+
+
+def test_histogram_bins_partition_data(spark):
+    out = QUERIES["agg_histogram_bins"](spark, ORACLE_SF).toPandas()
+    li = spark.read.parquet(f"{ORACLE_SF}/lineitem.parquet")
+    # bins tile the data: counts add up to the full table
+    assert out.cnt.sum() == li.count()
+    # bucket mins/maxes respect their bin bounds (bins 1..12 are equi-width)
+    inner = out[(out.bin >= 1) & (out.bin <= 12)]
+    for _, r in inner.iterrows():
+        lo, hi = (r.bin - 1) * 5000.0, r.bin * 5000.0
+        assert lo <= r.bin_min <= r.bin_max < hi, r.to_dict()
+
+
+def test_cms_heavy_hitters_never_undercount(spark):
+    out = QUERIES["x_text_heavy_hitters_cms"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    # CMS estimates only ever overcount
+    assert (out.overcount >= 0).all()
+    assert (out.est_count >= out.exact_count).all()
+    # heavy hitters are genuinely frequent (stopwords of the corpus)
+    assert (out.exact_count > 10).all()
+
+
+def test_repeated_ngrams_ratio_bounds(spark):
+    out = QUERIES["x_dedup_repeated_ngrams"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert ((out.n_hot >= 1) & (out.n_hot <= out.n_shingles)).all()
+    assert ((out.hot_frac > 0) & (out.hot_frac <= 1)).all()
