@@ -274,3 +274,80 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positives"
         ),
     )
+
+
+# --- Z-order (Morton) clustering ----------------------------------------
+
+_Z_BITS = 16  # low bits interleaved per dimension
+
+
+def _morton_sql(x: str, y: str, duck: bool) -> str:
+    """Bit-interleave the low _Z_BITS of two int columns into a Morton
+    code — identical arithmetic in both engines (max shift 31, no 1<<63
+    hazard)."""
+    if duck:
+        terms = [
+            f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})"
+            for b in range(_Z_BITS)
+        ]
+    else:
+        terms = [
+            f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})"
+            f" + shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})"
+            for b in range(_Z_BITS)
+        ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sort_zorder_cluster",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             {_morton_sql('l_partkey', 'l_suppkey', True)} AS morton,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    grp AS (
+      SELECT l_partkey, l_suppkey,
+             NTILE(16) OVER (ORDER BY morton, l_orderkey, l_linenumber) AS zgroup
+      FROM z
+    )
+    SELECT zgroup, COUNT(*) AS cnt,
+           MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+           MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+    FROM grp GROUP BY zgroup
+    """,
+)
+def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering (#39 cont.): interleave the bits of two
+    join/filter dimensions and range-split the interleaved order — the
+    layout behind multi-dimensional data skipping (Delta/Iceberg OPTIMIZE
+    ZORDER). The result reports each of 16 Z-range file groups' min/max
+    envelope in BOTH dimensions: narrow envelopes are precisely what lets
+    a scan prune files on either predicate column. At 100 TB this is
+    repartitionByRange(morton) + sortWithinPartitions at write time; the
+    NTILE split here is the same range division made hash-checkable (the
+    (morton, orderkey, linenumber) tiebreak makes the tile assignment a
+    total order, so both engines cut identical groups)."""
+    z = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_morton_sql("l_partkey", "l_suppkey", False)).alias("morton"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("morton", "l_orderkey", "l_linenumber")
+    return (
+        z.withColumn("zgroup", F.ntile(16).over(w))
+        .groupBy("zgroup")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+    )

@@ -277,3 +277,35 @@ def test_quality_gate_is_map_only(spark):
     # The composite gate must stream at scan speed: no Exchange at all.
     plan = QUERIES["x_text_quality_gate"](spark, ORACLE_SF)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bloom_prefilter_joins_all_broadcast(spark):
+    # The bloom table and the dim-key membership join must all broadcast —
+    # the probe side never rides an exchange.
+    plan = explain_str(QUERIES["join_bloom_prefilter"](spark, ORACLE_SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    # The 4096-cell sketch is the broadcast side of the probe join.
+    plan = explain_str(QUERIES["x_text_heavy_hitters_cms"](spark, ORACLE_SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repeated_ngrams_hot_table_broadcasts(spark):
+    plan = explain_str(QUERIES["x_dedup_repeated_ngrams"](spark, ORACLE_SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_is_two_phase_agg(spark):
+    # partial (map-side) + final aggregate: the shuffle carries bin rows,
+    # never data rows.
+    plan = explain_str(QUERIES["agg_histogram_bins"](spark, ORACLE_SF))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ivf_pq_codebook_broadcasts(spark):
+    plan = explain_str(QUERIES["x_sim_ann_ivf_pq"](spark, ORACLE_SF))
+    assert "BroadcastHashJoin" in plan
