@@ -537,3 +537,60 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").cast("double").alias("bin_max"),
         )
     )
+
+
+@query(
+    "agg_outlier_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type,
+             CAST(e.value AS DOUBLE) AS value,
+             (CAST(e.value AS DOUBLE) - m.sx / m.n)
+             / SQRT(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) AS z
+      FROM events e JOIN m ON e.event_type = m.event_type
+    )
+    SELECT event_id, event_type, value, ROUND(z, 6) AS zscore
+    FROM scored WHERE ABS(z) > 3
+    """,
+)
+def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (#32 cont.): events whose value
+    sits more than 3 population standard deviations from their
+    event-type mean — the row-level data-quality screen (events.value is
+    heavy-tailed; lineitem prices are uniform and have NO 3-sigma tail,
+    which is itself a distribution fact agg_histogram_bins shows).
+    Moments are exact DECIMAL sums finished with a fixed IEEE sequence
+    (the agg_corr_exact discipline), so mean/std are bit-reproducible at
+    any parallelism and the flag set is deterministic; builtin
+    stddev_pop's float partial merge order is not. Two scans in plan
+    terms but the second is filter-only: a per-type moment table (rows =
+    #types) broadcast back against the fact."""
+    ev = T(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    z = (F.col("value").cast("double") - mean) / std
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.round("z", 6).alias("zscore"),
+        )
+    )

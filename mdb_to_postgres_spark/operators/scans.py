@@ -441,3 +441,39 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0).alias("is_corrupt"),
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "scan_profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def scan_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (#3 cont.): per-column null and distinct
+    counts in ONE scan — the ingest-time quality report every ETL run
+    emits. The oracle unions one pass per column (fine for a checker);
+    the Spark side computes all profiles as parallel aggregates of a
+    single pass, then unpivots the 1-row result with stack(), so a 100 TB
+    table is read once no matter how many columns are profiled."""
+    o = tbl(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")

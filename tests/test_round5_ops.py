@@ -109,3 +109,35 @@ def test_repeated_ngrams_ratio_bounds(spark):
     assert len(out) > 0
     assert ((out.n_hot >= 1) & (out.n_hot <= out.n_shingles)).all()
     assert ((out.hot_frac > 0) & (out.hot_frac <= 1)).all()
+
+
+def test_zorder_groups_are_clustered(spark):
+    out = QUERIES["sort_zorder_cluster"](spark, ORACLE_SF).toPandas()
+    assert len(out) == 16
+    li = spark.read.parquet(f"{ORACLE_SF}/lineitem.parquet")
+    n = li.count()
+    assert out.cnt.sum() == n
+    # Z-ordering must actually cluster: the mean per-group envelope in the
+    # leading dimension is far narrower than the full key range.
+    full_span = li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    mean_span = (out.part_max - out.part_min).mean()
+    assert mean_span < full_span * 0.6, (mean_span, full_span)
+
+
+def test_outlier_zscore_flags_extremes(spark):
+    out = QUERIES["agg_outlier_zscore"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert (out.zscore.abs() > 3).all()
+    # outliers are a small tail, not the bulk
+    n = spark.read.parquet(f"{ORACLE_SF}/events.parquet").count()
+    assert len(out) < 0.05 * n
+
+
+def test_profile_counts_consistent(spark):
+    out = QUERIES["scan_profile_columns"](spark, ORACLE_SF).toPandas()
+    assert set(out.column_name) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    }
+    assert (out.n_null + out.n_distinct <= out.n_rows + out.n_null).all()
+    key = out[out.column_name == "o_orderkey"].iloc[0]
+    assert key.n_distinct == key.n_rows and key.n_null == 0
