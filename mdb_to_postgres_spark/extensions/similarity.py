@@ -930,3 +930,111 @@ def x_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def _ivf_filtered_oracle() -> str:
+    """Label-constrained IVF: same pipeline as _ivf_oracle with the
+    metadata predicate (neighbor label == query label) applied INSIDE the
+    inverted lists, before rescoring."""
+    cos_ct = _sql_cosine("c.embedding", "t.cemb")
+    cos_qt = _sql_cosine("q.qemb", "t.cemb")
+    cos_qc = _sql_cosine("q.qemb", "co.embedding")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id AS neighbor_id, embedding, label FROM embeddings WHERE vec_id >= 20
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
+      WHERE vec_id % {_N_CENTROIDS_MOD} = 0
+    ),
+    asg AS (
+      SELECT neighbor_id, label, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                ORDER BY cent_sim DESC, centroid_id) AS rn
+      FROM (SELECT c.neighbor_id, c.label, t.centroid_id, {cos_ct} AS cent_sim
+            FROM corpus c CROSS JOIN cent t)
+    ),
+    assigned AS (SELECT neighbor_id, label, centroid_id FROM asg WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qemb, label FROM embeddings
+          WHERE vec_id < 20),
+    pr AS (
+      SELECT query_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cent_sim DESC, centroid_id) AS prn
+      FROM (SELECT q.query_id, t.centroid_id, {cos_qt} AS cent_sim
+            FROM q CROSS JOIN cent t)
+    ),
+    probes AS (SELECT query_id, centroid_id FROM pr WHERE prn <= {_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {cos_qc} AS cos_sim
+      FROM probes p
+      JOIN assigned a ON p.centroid_id = a.centroid_id
+      JOIN q ON p.query_id = q.query_id AND a.label = q.label
+      JOIN corpus co ON a.neighbor_id = co.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("x_sim_ann_filtered", oracle=_ivf_filtered_oracle())
+def x_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered ANN (#62 cont.): top-5 neighbors restricted to
+    corpus vectors sharing the query's metadata label — the
+    metadata-constrained retrieval every production vector store serves
+    ("same language", "same tenant", "same license tier"). The predicate
+    is applied INSIDE the inverted lists (pre-filtering) rather than on
+    the final top-k (post-filtering) — post-filtering an unfiltered top-5
+    can return <5 or even 0 survivors when the predicate is selective,
+    which is exactly the classic filtered-ANN failure mode this shape
+    avoids. Cost: the label rides the thin assignment table (one int per
+    vector); selectivity shrinks the rescore set, never grows it."""
+    e = T(spark, sf_dir, "embeddings")
+    cent = flat_emb(
+        e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
+    )
+    corpus = flat_corpus(spark, sf_dir)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
+    assigned_thin = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "centroid_id", cent_sim.alias("cent_sim"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("nid"))
+            ).alias("centroid_id")
+        )
+        .join(labels, "neighbor_id")
+    )
+    assigned = corpus.join(assigned_thin, "neighbor_id")
+    qlab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q").join(
+        F.broadcast(qlab), "query_id"
+    )
+    q_sim = dot_flat("q", "t") / (F.col("qnorm") * F.col("tnorm"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent.select("centroid_id", *[f"t{i}" for i in range(DIM)], "tnorm")))
+        .withColumn("cent_sim", q_sim)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= _NPROBE)
+        .select("query_id", *[f"q{i}" for i in range(DIM)], "qnorm", "qlabel", "centroid_id")
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned.centroid_id == probes.centroid_id) & (assigned.label == probes.qlabel),
+    )
+    scored = cand.withColumn(
+        "cos_sim", dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

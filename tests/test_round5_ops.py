@@ -141,3 +141,17 @@ def test_profile_counts_consistent(spark):
     assert (out.n_null + out.n_distinct <= out.n_rows + out.n_null).all()
     key = out[out.column_name == "o_orderkey"].iloc[0]
     assert key.n_distinct == key.n_rows and key.n_null == 0
+
+
+def test_filtered_ann_respects_predicate(spark):
+    out = QUERIES["x_sim_ann_filtered"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    emb = spark.read.parquet(f"{ORACLE_SF}/embeddings.parquet").select(
+        "vec_id", "label"
+    ).toPandas().set_index("vec_id")["label"]
+    # every returned neighbor shares its query's label (pre-filter, not
+    # post-filter: never violated, not just usually)
+    for _, r in out.iterrows():
+        assert emb[r.neighbor_id] == emb[r.query_id], r.to_dict()
+    # at most 5 per query, ranked
+    assert (out.groupby("query_id").rn.max() <= 5).all()
