@@ -374,3 +374,65 @@ def stream_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
             "hll_within_5pct",
         )
     )
+
+
+@query(
+    "stream_rate_alert",
+    oracle=f"""
+    WITH win AS (
+      SELECT ({_EV_SEC} // 900) * 900 AS window_start, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    trail AS (
+      SELECT window_start, cnt,
+             AVG(CAST(cnt AS DOUBLE)) OVER (
+               ORDER BY window_start ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+             ) AS trailing_avg,
+             COUNT(*) OVER (
+               ORDER BY window_start ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
+             ) AS trailing_n
+      FROM win
+    )
+    SELECT window_start, cnt, ROUND(trailing_avg, 6) AS trailing_avg,
+           ROUND(cnt / trailing_avg, 6) AS rate_ratio
+    FROM trail
+    WHERE trailing_n = 4 AND cnt > 1.5 * trailing_avg
+    """,
+)
+def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly alerting (#52 cont.): 15-minute event counts compared
+    with the trailing 4-window average; windows running >1.5x their own
+    recent baseline fire. Warm-up windows (fewer than 4 predecessors) are
+    suppressed so the ratio is always against a full baseline. The
+    trailing AVG over integer counts divides once per row — deterministic
+    on both engines. In production this is the same windowed count
+    maintained incrementally by Structured Streaming with the comparison
+    in a foreachBatch sink; batch form = one windowed aggregate + one
+    ordered window pass over the (tiny) per-window table."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    win = (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "cnt")
+    )
+    wspec = Window.orderBy("window_start").rowsBetween(-4, -1)
+    trail = win.select(
+        "window_start",
+        "cnt",
+        F.avg(F.col("cnt").cast("double")).over(wspec).alias("trailing_avg"),
+        F.count("*").over(wspec).alias("trailing_n"),
+    )
+    return (
+        trail.filter(
+            (F.col("trailing_n") == 4)
+            & (F.col("cnt") > 1.5 * F.col("trailing_avg"))
+        )
+        .select(
+            "window_start",
+            "cnt",
+            F.round("trailing_avg", 6).alias("trailing_avg"),
+            F.round(F.col("cnt") / F.col("trailing_avg"), 6).alias("rate_ratio"),
+        )
+    )

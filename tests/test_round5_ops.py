@@ -155,3 +155,12 @@ def test_filtered_ann_respects_predicate(spark):
         assert emb[r.neighbor_id] == emb[r.query_id], r.to_dict()
     # at most 5 per query, ranked
     assert (out.groupby("query_id").rn.max() <= 5).all()
+
+
+def test_rate_alert_fires_on_real_baseline(spark):
+    out = QUERIES["stream_rate_alert"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert (out.rate_ratio > 1.5).all()
+    assert (out.trailing_avg > 0).all()
+    # windows are 15-minute aligned
+    assert (out.window_start % 900 == 0).all()
