@@ -781,3 +781,65 @@ def x_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hot") > 0)
     )
+
+
+@query(
+    "x_dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(l) - 2),
+             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+      FROM toks WHERE len(l) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.isect AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment,
+           CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.isect AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.8
+    """,
+)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup (#60 cont.): |A∩B| / min(|A|,|B|) >= 0.8 —
+    the asymmetric overlap measure that catches a document EMBEDDED in a
+    larger one (quote inclusion, article + wrapper page, excerpt reuse),
+    which symmetric Jaccard structurally misses: a 100-shingle doc inside
+    a 1000-shingle doc has containment 1.0 but Jaccard 0.1. Both metrics
+    are emitted so the gap is visible per pair. Same inverted-index
+    candidate shape as x_dedup_near_jaccard (pairs only for docs sharing
+    a shingle — never all-pairs); integer intersection and sizes, one
+    double divide each."""
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("isect").cast("double") / F.least("sz_a", "sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+    return out.select("doc_a", "doc_b", "containment", "jaccard")

@@ -164,3 +164,11 @@ def test_rate_alert_fires_on_real_baseline(spark):
     assert (out.trailing_avg > 0).all()
     # windows are 15-minute aligned
     assert (out.window_start % 900 == 0).all()
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    out = QUERIES["x_dedup_containment"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert (out.containment >= 0.8).all()
+    # containment dominates jaccard by construction (min <= union)
+    assert (out.containment >= out.jaccard).all()
