@@ -374,3 +374,58 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("ts_sec").alias("last_ts_sec"),
     )
+
+
+def windowed_user_cardinality(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of batch_forms.stream_window_approx_distinct's sketch
+    half. Exact COUNT(DISTINCT) is not executable under incremental
+    streaming state (the engine rejects it) — which is exactly WHY the
+    batch form carries an HLL sketch alongside the exact count: the
+    sketch IS the streaming-legal cardinality operator. Tests bound the
+    streamed estimate against the batch exact count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "approx_users",
+        )
+    )
+
+
+def run_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of batch_forms.stream_rate_alert: the 15-minute
+    counts are maintained incrementally by the engine (windowed agg,
+    append after watermark close); the trailing-baseline comparison —
+    which needs cross-window ORDER, not incremental state — runs over
+    the (tiny) materialized per-window table, the same split a
+    production foreachBatch alerting sink uses."""
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "cnt")
+    )
+    counts = run_to_memory(spark, win, "rate_alert_windows", "append")
+    from pyspark.sql.window import Window
+
+    wspec = Window.orderBy("window_start").rowsBetween(-4, -1)
+    trail = counts.select(
+        "window_start",
+        "cnt",
+        F.avg(F.col("cnt").cast("double")).over(wspec).alias("trailing_avg"),
+        F.count("*").over(wspec).alias("trailing_n"),
+    )
+    return (
+        trail.filter(
+            (F.col("trailing_n") == 4) & (F.col("cnt") > 1.5 * F.col("trailing_avg"))
+        )
+        .select(
+            "window_start",
+            "cnt",
+            F.round("trailing_avg", 6).alias("trailing_avg"),
+            F.round(F.col("cnt") / F.col("trailing_avg"), 6).alias("rate_ratio"),
+        )
+    )

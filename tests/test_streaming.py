@@ -190,3 +190,35 @@ def test_cdc_upsert_stream_equals_batch(spark):
     got = runtime.run_cdc_upsert(spark, ORACLE_SF).toPandas()
     want = QUERIES["stream_cdc_upsert"](spark, ORACLE_SF).toPandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_stream_window_cardinality_bounds_batch_exact(spark):
+    # Exact COUNT(DISTINCT) is illegal in streaming aggregation; the HLL
+    # sketch is the streaming-legal operator, and its streamed estimate
+    # must sit within the same 5% envelope the batch twin asserts.
+    est = runtime.run_to_memory(
+        spark,
+        runtime.windowed_user_cardinality(runtime.read_events_stream(spark, ORACLE_SF)),
+        "win_card_stream",
+        "append",
+    ).toPandas()
+    exact = QUERIES["stream_window_approx_distinct"](spark, ORACLE_SF).toPandas()
+    merged = est.merge(exact, on="window_start", how="inner")
+    assert len(merged) > 0
+    rel = (merged.approx_users - merged.exact_users).abs() / merged.exact_users
+    assert (rel < 0.05).all(), rel.max()
+
+
+def test_stream_rate_alert_equals_batch(spark):
+    got = runtime.run_rate_alert(spark, ORACLE_SF).toPandas()
+    want = QUERIES["stream_rate_alert"](spark, ORACLE_SF).toPandas()
+    # Append-mode watermarking only emits CLOSED windows: the stream's
+    # final window(s) never close under availableNow, so the batch form
+    # may carry a trailing edge the stream legitimately lacks.
+    missing = set(want.window_start) - set(got.window_start)
+    assert all(w >= want.window_start.max() - 3600 for w in missing), missing
+    shared = sorted(set(want.window_start) & set(got.window_start))
+    g = got[got.window_start.isin(shared)].sort_values("window_start").reset_index(drop=True)
+    w = want[want.window_start.isin(shared)].sort_values("window_start").reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    assert g.equals(w)
