@@ -742,12 +742,12 @@ def x_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hot,
+           CAST(SUM(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
            ROUND(SUM(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS hot_frac
     FROM sh s LEFT JOIN hot h ON s.shingle = h.shingle
     GROUP BY s.doc_id
-    HAVING SUM(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    HAVING CAST(SUM(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
     """,
 )
 def x_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:

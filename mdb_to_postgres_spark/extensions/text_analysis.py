@@ -730,7 +730,7 @@ cnt AS (
   SELECT doc_id, g, COUNT(*) AS c FROM qg GROUP BY doc_id, g
 )
 SELECT doc_id,
-       SUM(c) AS n_qgrams,
+       CAST(SUM(c) AS BIGINT) AS n_qgrams,
        COUNT(*) AS distinct_qgrams,
        ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio,
        ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share

@@ -213,9 +213,9 @@ def _bloom_oracle() -> str:
       FROM pr {joins}
     )
     SELECT COUNT(*) AS fact_rows,
-           SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS bloom_pass,
-           SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS true_matches,
-           SUM(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END) AS false_positives
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+           CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS true_matches,
+           CAST(SUM(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
     FROM flags
     """
 

@@ -451,7 +451,7 @@ _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     oracle=" UNION ALL ".join(
         f"""
     SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct
     FROM orders"""
         for c in _PROFILE_COLS

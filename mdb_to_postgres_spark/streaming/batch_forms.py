@@ -436,3 +436,59 @@ def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("trailing_avg"), 6).alias("rate_ratio"),
         )
     )
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, {_EV_SEC} AS ts_sec,
+             CASE WHEN event_type = 'error' THEN 3600 ELSE 1800 END AS gap
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_sec, gap,
+             CASE WHEN ts_sec >= MAX(ts_sec + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts_sec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts_sec, gap,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts_sec) AS session_start,
+           MAX(ts_sec + gap) AS session_end,
+           COUNT(*) AS event_cnt
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (#54 cont.): the session timeout depends
+    on the EVENT — an 'error' keeps its session alive 60 minutes, anything
+    else 30 — via session_window's per-row gap expression (the Spark-native
+    feature fixed-gap sessionization can't express: think checkout flows
+    whose timeout differs by page type). The oracle reproduces Spark's
+    merge rule from first principles as an interval merge: a new session
+    starts exactly when an event's time reaches the running max of
+    previous (ts + gap) ends; a touching boundary ([a,b) then b) does NOT
+    merge. Events are second-truncated (ts_sec) so both engines bin
+    identically. Runs incrementally under Structured Streaming with the
+    same expression."""
+    e = _events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", "3600 seconds").otherwise("1800 seconds")
+    return (
+        e.withColumn("ts_s", F.to_timestamp(F.col("ts_sec")))
+        .groupBy(F.session_window("ts_s", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "event_cnt",
+        )
+    )

@@ -429,3 +429,22 @@ def run_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("trailing_avg"), 6).alias("rate_ratio"),
         )
     )
+
+
+def session_counts_dynamic(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of batch_forms.stream_session_dynamic_gap: the
+    per-event gap expression works identically under incremental session
+    state — error events hold their session 60 minutes, others 30."""
+    e = events.withColumn("ts_s", F.to_timestamp(F.col("ts").cast("long")))
+    gap = F.when(F.col("event_type") == "error", "3600 seconds").otherwise("1800 seconds")
+    return (
+        e.withWatermark("ts_s", watermark)
+        .groupBy(F.session_window("ts_s", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "event_cnt",
+        )
+    )

@@ -222,3 +222,21 @@ def test_stream_rate_alert_equals_batch(spark):
     w = want[want.window_start.isin(shared)].sort_values("window_start").reset_index(drop=True)
     assert len(g) == len(w) > 0
     assert g.equals(w)
+
+
+def test_stream_session_dynamic_gap_equals_batch(spark):
+    got = runtime.run_to_memory(
+        spark,
+        runtime.session_counts_dynamic(runtime.read_events_stream(spark, ORACLE_SF)),
+        "dyn_sess_stream",
+        "append",
+    ).toPandas()
+    want = QUERIES["stream_session_dynamic_gap"](spark, ORACLE_SF).toPandas()
+    key = ["user_id", "session_start", "session_end", "event_cnt"]
+    got_s = set(map(tuple, got[key].itertuples(index=False)))
+    want_s = set(map(tuple, want[key].itertuples(index=False)))
+    # append mode withholds sessions not closed by the watermark at end of
+    # input; everything emitted must be a batch session, and coverage must
+    # be near-total
+    assert got_s <= want_s
+    assert len(got_s) >= 0.95 * len(want_s), (len(got_s), len(want_s))
