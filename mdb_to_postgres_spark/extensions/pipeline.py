@@ -627,3 +627,93 @@ def x_mix_rebalance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("est_tokens"),
         ).alias("keep_rate"),
     )
+
+
+@query(
+    "x_pipeline_contrastive_triplets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(l) - 2),
+             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+      FROM toks WHERE len(l) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pos AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) >= 0.35
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    cand AS (
+      SELECT doc_a, doc_b, jaccard,
+             ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || ':' ||
+                                 CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT
+             % (SELECT n_docs FROM n) AS c0
+      FROM pos
+    )
+    SELECT doc_a AS anchor, doc_b AS positive,
+           CASE WHEN c0 <> doc_a AND c0 <> doc_b THEN c0
+                WHEN (c0 + 1) % (SELECT n_docs FROM n) <> doc_a
+                 AND (c0 + 1) % (SELECT n_docs FROM n) <> doc_b
+                THEN (c0 + 1) % (SELECT n_docs FROM n)
+                ELSE (c0 + 2) % (SELECT n_docs FROM n)
+           END AS negative,
+           jaccard AS pos_jaccard
+    FROM cand
+    """,
+)
+def x_pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining (#76 cont.): each near-dup pair becomes
+    an (anchor, positive) training pair, and the negative is drawn
+    deterministically — md5(anchor:positive) mod corpus size, stepping
+    past collisions with anchor/positive (doc_ids are contiguous 0..n-1,
+    TESTDATA.md) — the hard-negative-free random baseline every
+    contrastive embedding run starts from. No RNG anywhere, so resuming
+    a 100 TB mining job regenerates identical triplets (the same
+    md5-band determinism as x_dataset_split); a hard-negative upgrade
+    swaps the md5 draw for an ANN neighbor outside the positive set
+    (x_sim_ann_lsh substrate) without touching the pair plumbing."""
+    from .dedup import x_dedup_near_jaccard
+
+    pairs = x_dedup_near_jaccard(spark, sf_dir)
+    # Corpus size folded INTO the plan (broadcast 1-row aggregate), never
+    # an eager .count() at build time — the x_corpus_drift discipline.
+    n = T(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    pairs = pairs.crossJoin(F.broadcast(n))
+    n_docs = F.col("n_docs")
+    c0 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_docs
+    )
+    c1 = (c0 + 1) % n_docs
+    c2 = (c0 + 2) % n_docs
+    neg = (
+        F.when((c0 != F.col("doc_a")) & (c0 != F.col("doc_b")), c0)
+        .when((c1 != F.col("doc_a")) & (c1 != F.col("doc_b")), c1)
+        .otherwise(c2)
+    )
+    return pairs.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        neg.alias("negative"),
+        F.col("jaccard").alias("pos_jaccard"),
+    )

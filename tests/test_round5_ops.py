@@ -172,3 +172,20 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert (out.containment >= 0.8).all()
     # containment dominates jaccard by construction (min <= union)
     assert (out.containment >= out.jaccard).all()
+
+
+def test_contrastive_triplets_are_valid(spark):
+    out = QUERIES["x_pipeline_contrastive_triplets"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    # negative never collides with anchor or positive
+    assert ((out.negative != out.anchor) & (out.negative != out.positive)).all()
+    # negatives land inside the corpus id range
+    n = spark.read.parquet(f"{ORACLE_SF}/documents.parquet").count()
+    assert ((out.negative >= 0) & (out.negative < n)).all()
+    # pairs come from the >=0.35 near-dup set
+    assert (out.pos_jaccard >= 0.35).all()
+    # determinism: a second build yields the identical triplet set
+    again = QUERIES["x_pipeline_contrastive_triplets"](spark, ORACLE_SF).toPandas()
+    a = set(map(tuple, out[["anchor", "positive", "negative"]].itertuples(index=False)))
+    b = set(map(tuple, again[["anchor", "positive", "negative"]].itertuples(index=False)))
+    assert a == b
