@@ -349,6 +349,43 @@ def _ivf_oracle() -> str:
     """
 
 
+# The thin (neighbor_id, centroid_id) seed-centroid assignment is shared
+# by x_sim_ann_ivf and x_sim_ann_filtered — the same inverted-list table a
+# production deployment persists once and every query probes. Cached per
+# (session, sf) like flat_corpus.
+_IVF_ASSIGN_CACHE: dict = {}
+
+
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every corpus vector to its nearest seed centroid. Computed
+    THIN — (vector_id, centroid_id) only via max_by with a (sim, -id)
+    tiebreak — so the 65 double columns never ride through the
+    aggregation shuffle. At 100 TB the inverted lists are exactly this
+    thin table, partitioned by centroid_id."""
+
+    def build() -> DataFrame:
+        e = T(spark, sf_dir, "embeddings")
+        cent = flat_emb(
+            e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
+        )
+        corpus = flat_corpus(spark, sf_dir)
+        cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
+        return (
+            corpus.crossJoin(F.broadcast(cent))
+            .select("neighbor_id", "centroid_id", cent_sim.alias("cent_sim"))
+            .groupBy("neighbor_id")
+            .agg(
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("nid")),
+                ).alias("centroid_id")
+            )
+            .localCheckpoint()
+        )
+
+    return session_cache_get(_IVF_ASSIGN_CACHE, spark, sf_dir, build)
+
+
 @query("x_sim_ann_ivf", oracle=_ivf_oracle())
 def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF coarse quantization (#62 scale path): corpus vectors are
@@ -361,23 +398,7 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
     )
     corpus = flat_corpus(spark, sf_dir)
-    # Assign every corpus vector to its nearest centroid. The assignment is
-    # computed THIN — (vector_id, centroid_id) only via max_by with a
-    # (sim, -id) tiebreak — then joined back, so the 65 double columns never
-    # ride through the aggregation shuffle. At 100 TB the inverted lists are
-    # exactly this thin table, partitioned by centroid_id.
-    cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
-    assigned_thin = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("neighbor_id", "centroid_id", cent_sim.alias("cent_sim"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "centroid_id", F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("nid"))
-            ).alias("centroid_id")
-        )
-    )
-    assigned = corpus.join(assigned_thin, "neighbor_id")
+    assigned = corpus.join(ivf_assignment(spark, sf_dir), "neighbor_id")
     # Queries pick their nprobe closest centroids.
     q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q")
     q_sim = dot_flat("q", "t") / (F.col("qnorm") * F.col("tnorm"))
@@ -999,18 +1020,7 @@ def x_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = flat_corpus(spark, sf_dir)
     labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
-    cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
-    assigned_thin = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("neighbor_id", "centroid_id", cent_sim.alias("cent_sim"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "centroid_id", F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("nid"))
-            ).alias("centroid_id")
-        )
-        .join(labels, "neighbor_id")
-    )
+    assigned_thin = ivf_assignment(spark, sf_dir).join(labels, "neighbor_id")
     assigned = corpus.join(assigned_thin, "neighbor_id")
     qlab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
     q = flat_emb(e.filter(F.col("vec_id") < 20), "query_id", "q").join(

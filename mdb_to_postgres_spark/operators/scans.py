@@ -461,19 +461,21 @@ def scan_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profiling (#3 cont.): per-column null and distinct
     counts in ONE scan — the ingest-time quality report every ETL run
     emits. The oracle unions one pass per column (fine for a checker);
-    the Spark side computes all profiles as parallel aggregates of a
-    single pass, then unpivots the 1-row result with stack(), so a 100 TB
-    table is read once no matter how many columns are profiled."""
+    the Spark side unpivots every value to (column_name, value-as-string)
+    in a single projection, then one grouped distinct aggregate — a lone
+    parquet scan feeds all profiles (plan-asserted), and adding columns
+    widens the stack, not the I/O or the aggregate count (the 4-way
+    multi-countDistinct alternative grows one distinct branch per
+    column). Values profile as strings: distinct
+    and null counts are representation-independent for these int/string
+    columns."""
     o = tbl(spark, sf_dir, "orders")
-    aggs = [F.count("*").alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
-    one = o.agg(*aggs)
-    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS)
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_null, n_distinct)"
-        ),
-        "n_rows",
-    ).select("column_name", "n_rows", "n_null", "n_distinct")
+    stack_args = ", ".join(f"'{c}', cast({c} as string)" for c in _PROFILE_COLS)
+    long = o.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, val)")
+    )
+    return long.groupBy("column_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+    )

@@ -309,3 +309,22 @@ def test_histogram_is_two_phase_agg(spark):
 def test_ivf_pq_codebook_broadcasts(spark):
     plan = explain_str(QUERIES["x_sim_ann_ivf_pq"](spark, ORACLE_SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_outlier_moments_broadcast_back(spark):
+    plan = explain_str(QUERIES["agg_outlier_zscore"](spark, ORACLE_SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_profile_is_single_scan(spark):
+    # one parquet scan NODE feeds all per-column profiles (formatted
+    # explain mentions each node twice: tree line + detail header)
+    plan = explain_str(QUERIES["scan_profile_columns"](spark, ORACLE_SF))
+    nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(nodes) == 1, plan
+
+
+def test_triplets_corpus_count_broadcast(spark):
+    plan = explain_str(QUERIES["x_pipeline_contrastive_triplets"](spark, ORACLE_SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
