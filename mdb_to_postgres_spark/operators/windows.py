@@ -459,3 +459,65 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "nation", "region"):
         T(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PCT_SQL)
+
+
+@query(
+    "win_cohort_retention",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ({_EV_SEC} // 3600) AS hr FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(hr) AS cohort_hr FROM ev GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, c.cohort_hr, e.hr - c.cohort_hr AS hr_offset
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    ),
+    sizes AS (
+      SELECT cohort_hr, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_hr
+    )
+    SELECT a.cohort_hr, a.hr_offset,
+           COUNT(*) AS active_users,
+           s.cohort_size,
+           ROUND(COUNT(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM active a JOIN sizes s ON a.cohort_hr = s.cohort_hr
+    GROUP BY a.cohort_hr, a.hr_offset, s.cohort_size
+    """,
+)
+def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis (#36 cont.): users are cohorted by their
+    first-activity hour; each later active hour increments that cohort's
+    retention at offset (hour - cohort_hour) — the triangle matrix behind
+    every product-analytics retention chart. Three thin aggregations on
+    (user, hour) keys: cohort assignment (MIN per user), distinct
+    activity, per-cohort sizes broadcast back for the rate. No window
+    function needed — the min-per-user groupBy IS the cohort pass, so
+    the whole thing is two shuffles on user_id + one on cohort_hr at any
+    corpus size."""
+    from ..sources.tables import events_ts
+
+    ev = events_ts(spark, sf_dir).select(
+        "user_id", (F.col("ts_sec") / 3600).cast("bigint").alias("hr")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("hr").alias("cohort_hr"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select("user_id", "cohort_hr", (F.col("hr") - F.col("cohort_hr")).alias("hr_offset"))
+        .distinct()
+    )
+    sizes = cohort.groupBy("cohort_hr").agg(F.count("*").alias("cohort_size"))
+    return (
+        active.groupBy("cohort_hr", "hr_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_hr")
+        .select(
+            "cohort_hr",
+            "hr_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

@@ -189,3 +189,15 @@ def test_contrastive_triplets_are_valid(spark):
     a = set(map(tuple, out[["anchor", "positive", "negative"]].itertuples(index=False)))
     b = set(map(tuple, again[["anchor", "positive", "negative"]].itertuples(index=False)))
     assert a == b
+
+
+def test_cohort_retention_matrix_is_sound(spark):
+    out = QUERIES["win_cohort_retention"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert ((out.retention > 0) & (out.retention <= 1)).all()
+    assert (out.active_users <= out.cohort_size).all()
+    # offset 0 is full retention by construction (the cohorting event)
+    zero = out[out.hr_offset == 0]
+    assert len(zero) > 0 and (zero.retention == 1.0).all()
+    # offsets never negative (first activity defines the cohort)
+    assert (out.hr_offset >= 0).all()
