@@ -521,3 +521,85 @@ def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "win_attribution_last_touch",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, {_EV_SEC} AS ts_sec FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts_sec, event_id,
+             event_type = 'purchase' AS is_purchase,
+             CASE WHEN event_type IN ('click', 'view') THEN event_id END AS t_id,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS t_type,
+             CASE WHEN event_type IN ('click', 'view') THEN ts_sec END AS t_ts
+      FROM ev WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    run AS (
+      SELECT user_id, ts_sec, event_id, is_purchase,
+             last_value(t_id IGNORE NULLS) OVER w AS touch_id,
+             last_value(t_type IGNORE NULLS) OVER w AS touch_type,
+             last_value(t_ts IGNORE NULLS) OVER w AS touch_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           ts_sec - touch_ts AS gap_sec
+    FROM run
+    WHERE is_purchase AND touch_id IS NOT NULL AND ts_sec - touch_ts <= 3600
+    """,
+)
+def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (#35 cont.): each purchase is
+    credited to the user's most recent click/view within the preceding
+    hour. Union-and-running-window formulation — touches and purchases
+    interleave in one per-user (ts, event_id) order and last_value(...
+    IGNORE NULLS) carries the latest touch forward — so attribution is
+    ONE shuffle on user_id and a single sort, never a per-pair band join
+    (which blows up on power users at 100 TB; same scale argument as
+    join_asof). Ties at the same second resolve by event_id in both
+    engines."""
+    ev = events_ts(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.when(is_touch, F.col("event_id")).alias("t_id"),
+        F.when(is_touch, F.col("event_type")).alias("t_type"),
+        F.when(is_touch, F.col("ts_sec")).alias("t_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tagged.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        "is_purchase",
+        F.last("t_id", ignorenulls=True).over(w).alias("touch_id"),
+        F.last("t_type", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("t_ts", ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        run.filter(
+            F.col("is_purchase")
+            & F.col("touch_id").isNotNull()
+            & (F.col("ts_sec") - F.col("touch_ts") <= 3600)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "touch_id",
+            "touch_type",
+            (F.col("ts_sec") - F.col("touch_ts")).alias("gap_sec"),
+        )
+    )

@@ -201,3 +201,12 @@ def test_cohort_retention_matrix_is_sound(spark):
     assert len(zero) > 0 and (zero.retention == 1.0).all()
     # offsets never negative (first activity defines the cohort)
     assert (out.hr_offset >= 0).all()
+
+
+def test_attribution_credits_recent_touch(spark):
+    out = QUERIES["win_attribution_last_touch"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert ((out.gap_sec >= 0) & (out.gap_sec <= 3600)).all()
+    assert out.touch_type.isin(["click", "view"]).all()
+    # one attribution row per purchase at most
+    assert out.purchase_id.is_unique
