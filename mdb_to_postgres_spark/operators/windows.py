@@ -603,3 +603,88 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_sec") - F.col("touch_ts")).alias("gap_sec"),
         )
     )
+
+
+@query(
+    "win_concurrency_sweep",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, {_EV_SEC} AS ts_sec FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_sec,
+             CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+                       > 1800 OR LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sess_id AS (
+      SELECT user_id, ts_sec,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts_sec) AS s_start, MAX(ts_sec) + 1800 AS s_end
+      FROM sess_id GROUP BY user_id, sid
+    ),
+    bounds AS (
+      SELECT s_start AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT s_end AS t, -1 AS d FROM sessions
+    ),
+    curve AS (
+      SELECT t, d,
+             SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM bounds
+    )
+    SELECT (t // 3600) * 3600 AS hour_start,
+           MAX(concurrent) AS peak_concurrent,
+           COUNT(*) AS boundary_events
+    FROM curve GROUP BY 1
+    """,
+)
+def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line (#36 cont.): sessionize each user
+    (30-min inactivity gap, session open until last event + 30 min),
+    explode sessions into +1/-1 boundary deltas, and a running sum over
+    the global (t, delta) order IS the concurrency curve — reported as
+    per-hour peaks. Delta orders before +1 at equal timestamps, so a
+    session ending exactly as another starts never double-counts.
+
+    Scale shape: the sweep runs over session BOUNDARIES (two thin rows
+    per session), not events; the global ordered sum is the textbook
+    two-phase prefix sum at cluster scale (per-partition partials + a
+    broadcast carry), the same pattern x_pack_sequences uses for global
+    offsets. Sessionization itself is the gaps-islands window — one
+    shuffle on user_id."""
+    ev = events_ts(spark, sf_dir).select("user_id", "ts_sec")
+    w_user = Window.partitionBy("user_id").orderBy("ts_sec")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_sec").over(w_user).isNull()
+            | (F.col("ts_sec") - F.lag("ts_sec").over(w_user) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess_id = marked.withColumn(
+        "sid",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = sess_id.groupBy("user_id", "sid").agg(
+        F.min("ts_sec").alias("s_start"), (F.max("ts_sec") + 1800).alias("s_end")
+    )
+    bounds = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    w_sweep = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = bounds.withColumn("concurrent", F.sum("d").over(w_sweep))
+    return (
+        curve.groupBy(((F.col("t") / 3600).cast("bigint") * 3600).alias("hour_start"))
+        .agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            F.count("*").alias("boundary_events"),
+        )
+    )

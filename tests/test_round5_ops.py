@@ -210,3 +210,17 @@ def test_attribution_credits_recent_touch(spark):
     assert out.touch_type.isin(["click", "view"]).all()
     # one attribution row per purchase at most
     assert out.purchase_id.is_unique
+
+
+def test_concurrency_sweep_is_conservative(spark):
+    out = QUERIES["win_concurrency_sweep"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    # concurrency never negative, never exceeds the user population
+    n_users = (
+        spark.read.parquet(f"{ORACLE_SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert (out.peak_concurrent >= 0).all()
+    assert (out.peak_concurrent <= n_users).all()
+    # every session contributes exactly two boundary events in total
+    assert out.boundary_events.sum() % 2 == 0
