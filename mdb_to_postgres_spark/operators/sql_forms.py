@@ -617,3 +617,32 @@ def sql_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide+multiply on both engines.)"""
     _views(spark, sf_dir, ["lineitem", "supplier", "nation"])
     return spark.sql(_Q11)
+
+
+_LATERAL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+    FROM customer c,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (#81 cont.): each qualifying
+    customer's top-2 orders via a per-row dependent subquery — the SQL
+    form ORMs and hand-written reports lean on. Catalyst decorrelates
+    the LATERAL into a ranked window + join rather than executing one
+    subquery per outer row (the textual form is per-row; the physical
+    plan is set-based — exactly the rewrite a 100 TB engine must do,
+    since a correlated loop over a filtered customer dimension is still
+    millions of subqueries). Identical text runs on DuckDB."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL)

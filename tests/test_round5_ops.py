@@ -224,3 +224,14 @@ def test_concurrency_sweep_is_conservative(spark):
     assert (out.peak_concurrent <= n_users).all()
     # every session contributes exactly two boundary events in total
     assert out.boundary_events.sum() % 2 == 0
+
+
+def test_lateral_topn_shape(spark):
+    out = QUERIES["sql_lateral_topn"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    # at most 2 orders per customer, ranked 1..2
+    per_c = out.groupby("c_custkey").rk.agg(["count", "max"])
+    assert (per_c["count"] <= 2).all() and (per_c["max"] <= 2).all()
+    # within a customer, rank follows descending totalprice
+    srt = out.sort_values(["c_custkey", "rk"])
+    assert (srt.groupby("c_custkey").o_totalprice.diff().dropna() <= 0).all()
