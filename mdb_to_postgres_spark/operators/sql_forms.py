@@ -646,3 +646,34 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     millions of subqueries). Identical text runs on DuckDB."""
     _views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL)
+
+
+# Identical text on both engines: CAST(FLOOR(...)) instead of the
+# engine-specific integer-division operators (Spark DIV vs DuckDB //).
+_RECURSIVE = """
+    WITH RECURSIVE walk(node, cur, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 1023
+      UNION ALL
+      SELECT node, CAST(FLOOR((cur - 1) / 2.0) AS BIGINT), d + 1
+      FROM walk WHERE cur > 0
+    )
+    SELECT node AS doc_id, MAX(d) AS depth
+    FROM walk GROUP BY node
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (#81 cont., Spark 4 WITH RECURSIVE): walk every doc
+    up the implicit binary-heap tree (parent = (id-1)/2) to the root and
+    report its depth — org charts, thread nesting, BOM explosions. The
+    engine iterates the recursive step to a fixpoint: O(depth)
+    sequential rounds, each a full pass over the frontier. Its
+    registered twin x_tree_depth_pointer_jump computes the SAME answer
+    in O(log depth) doubling rounds — the scale-preferred formulation
+    when depth is large — and the two hash-match each other AND this
+    shared SQL text on DuckDB. Having both shapes is the point: the CTE
+    is what users write; the pointer jump is what a 100 TB migration
+    rewrites it into."""
+    _views(spark, sf_dir, ["documents"])
+    return spark.sql(_RECURSIVE)

@@ -235,3 +235,13 @@ def test_lateral_topn_shape(spark):
     # within a customer, rank follows descending totalprice
     srt = out.sort_values(["c_custkey", "rk"])
     assert (srt.groupby("c_custkey").o_totalprice.diff().dropna() <= 0).all()
+
+
+def test_recursive_cte_matches_pointer_jump(spark):
+    # engine-native recursion and O(log depth) pointer jumping are twins
+    rec = QUERIES["sql_recursive_cte"](spark, ORACLE_SF).toPandas()
+    jump = QUERIES["x_tree_depth_pointer_jump"](spark, ORACLE_SF).toPandas()
+    a = rec.sort_values("doc_id").reset_index(drop=True)
+    b = jump.sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.depth.tolist() == b.depth.tolist()
