@@ -187,13 +187,54 @@ def load_all() -> None:
 
     ordered = sorted(
         QUERIES.items(),
-        key=lambda kv: _check_rank(
-            kv[0], kv[0] in ORACLES, _fingerprint(kv[1], ORACLES.get(kv[0]))
+        key=lambda kv: (
+            _check_rank(
+                kv[0], kv[0] in ORACLES, _fingerprint(kv[1], ORACLES.get(kv[0]))
+            ),
+            _debt_tier(kv[0]),
         ),
-    )  # sorted() is stable: registration order survives within each rank
+    )  # sorted() is stable: registration order survives within (rank, tier)
     QUERIES.clear()
     QUERIES.update(ordered)
     _LOADED = True
+
+
+# With more never-checked queries than the driver's 50-entry window holds,
+# WHICH unchecked queries wait matters: a query unchecked since round 2/3
+# has priority over one registered this round (the round-3 judge's #1 item
+# is exactly the old cohort). Tiers are a tiebreak WITHIN rank 1 only —
+# the moment a query gets any driver row, _check_rank stops consulting
+# them — so the lists self-expire; they never need pruning, only appending
+# when a future round again oversubscribes the window.
+_DEBT_TIER_A = {  # never checked, registered rounds 1-3 (oldest debt)
+    "x_udf_scalar_pandas", "x_udf_grouped_agg", "x_udf_grouped_map",
+    "x_udtf_expand", "x_udf_map_in_pandas",
+    "x_multimodal_ingest", "x_multimodal_binaryfile", "x_multimodal_decode_stub",
+    "x_multimodal_frame_sample", "x_multimodal_resize_stub",
+    "x_sim_cosine_pairs", "x_sim_topk_knn", "x_sim_ann_lsh", "x_sim_ann_ivf",
+    "x_sim_ann_ivf_kmeans", "x_sim_ann_lsh_hyperplane", "x_dedup_embedding_cos",
+    "reshape_unpivot", "join_nullsafe", "win_gaps_islands", "win_distinct_count",
+    "win_funnel", "win_gap_fill_resample",
+}
+_DEBT_TIER_B = {  # never checked, registered in round 4's first session
+    "sql_q2_min_cost_supplier", "sql_q4_order_priority", "sql_q7_volume_shipping",
+    "sql_q8_market_share", "sql_q9_product_margin", "sql_q12_priority_lines",
+    "sql_q13_customer_distribution", "sql_q15_top_supplier",
+    "sql_q17_small_quantity_revenue", "sql_q20_part_suppliers",
+    "sql_q21_waiting_supplier", "sql_q22_sales_opportunity", "sql_q11_important_value",
+    "agg_corr_exact", "win_percent_of_total", "x_text_quality_gate",
+    "x_pack_curriculum", "x_sim_maxsim_multivector", "x_graph_pagerank",
+    "x_graph_triangles", "stream_cdc_upsert", "x_text_token_entropy",
+    "x_mix_rebalance_tokens", "x_dedup_minhash_lsh_xxh", "x_dedup_simhash_xxh",
+}
+
+
+def _debt_tier(name: str) -> int:
+    if name in _DEBT_TIER_A:
+        return 0
+    if name in _DEBT_TIER_B:
+        return 1
+    return 2
 
 
 def all_queries() -> dict[str, QueryFn]:
