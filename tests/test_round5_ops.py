@@ -245,3 +245,16 @@ def test_recursive_cte_matches_pointer_jump(spark):
     b = jump.sort_values("doc_id").reset_index(drop=True)
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert a.depth.tolist() == b.depth.tolist()
+
+
+def test_dynamic_overwrite_touches_only_its_partition(spark):
+    out = QUERIES["etl_partition_overwrite_dynamic"](spark, ORACLE_SF).toPandas()
+    src = spark.read.parquet(f"{ORACLE_SF}/orders.parquet").toPandas()
+    assert len(out) == len(src)
+    m = out.merge(src, on="o_orderkey", suffixes=("_new", "_old"))
+    urgent = m[m.o_orderpriority_old == "1-URGENT"]
+    rest = m[m.o_orderpriority_old != "1-URGENT"]
+    # restated partition doubled; all other partitions byte-identical
+    assert (urgent.o_totalprice_new == (
+        urgent.o_totalprice_old.astype("float64") * 2).round(2)).all()
+    assert (rest.o_totalprice_new == rest.o_totalprice_old).all()
