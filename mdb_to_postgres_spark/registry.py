@@ -178,7 +178,7 @@ def load_all() -> None:
     from .streaming import batch_forms  # noqa: F401
     from .operators import skew, physical  # noqa: F401  (physical -> scans)
     from .extensions import text_analysis, pipeline  # noqa: F401  (pipeline -> dedup)
-    from .sources import jdbc_queries  # noqa: F401
+    from .sources import jdbc_queries, python_source  # noqa: F401
     from .operators import sql_forms  # noqa: F401
     from .operators import aggregates, sort_setops  # noqa: F401
     from .extensions import udf_surface, multimodal, similarity  # noqa: F401

@@ -258,3 +258,16 @@ def test_dynamic_overwrite_touches_only_its_partition(spark):
     assert (urgent.o_totalprice_new == (
         urgent.o_totalprice_old.astype("float64") * 2).round(2)).all()
     assert (rest.o_totalprice_new == rest.o_totalprice_old).all()
+
+
+def test_python_datasource_partition_parallel(spark):
+    out = QUERIES["scan_python_datasource"](spark, ORACLE_SF).toPandas()
+    assert len(out) == 4096
+    # 8 declared partitions, each produced its own contiguous slice
+    assert out.pid.nunique() == 8
+    per = out.groupby("pid").id.agg(["min", "max", "count"])
+    assert (per["count"] == 512).all()
+    assert (per["min"] == per.index * 512).all()
+    # registration is idempotent within a session
+    again = QUERIES["scan_python_datasource"](spark, ORACLE_SF)
+    assert again.count() == 4096
