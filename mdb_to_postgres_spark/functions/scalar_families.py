@@ -354,3 +354,39 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.expr("~o_orderkey").alias("flipped"),
     )
+
+
+@query(
+    "fn_variant_semistructured",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(CAST(e.props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE)
+             AS k_sum,
+           MIN(CAST(e.props->>'$.k' AS BIGINT)) AS k_min,
+           MAX(CAST(e.props->>'$.k' AS BIGINT)) AS k_max
+    FROM events e
+    GROUP BY e.event_type
+    """,
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics via VARIANT (#50 cont., Spark 4): the
+    events.props JSON string parses ONCE into the binary VARIANT encoding
+    (parse_json) and typed paths come out with variant_get — the Spark 4
+    answer to schemaless columns that avoids both per-access re-parsing
+    (get_json_object) and rigid upfront schemas (from_json). At 100 TB
+    the parse cost is paid at ingest and every later read is a binary
+    path lookup; here the whole parse->extract->aggregate pipeline
+    hash-checks against DuckDB's JSON operators."""
+    e = T(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("k").cast("decimal(18,2)")).cast("double").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -271,3 +271,12 @@ def test_python_datasource_partition_parallel(spark):
     # registration is idempotent within a session
     again = QUERIES["scan_python_datasource"](spark, ORACLE_SF)
     assert again.count() == 4096
+
+
+def test_variant_extraction_is_typed(spark):
+    out = QUERIES["fn_variant_semistructured"](spark, ORACLE_SF).toPandas()
+    assert len(out) == 5  # five event types
+    assert (out.cnt > 0).all()
+    assert (out.k_min <= out.k_max).all()
+    # props k values are 0..99 in the corpus
+    assert (out.k_min >= 0).all() and (out.k_max <= 99).all()
