@@ -677,3 +677,108 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites it into."""
     _views(spark, sf_dir, ["documents"])
     return spark.sql(_RECURSIVE)
+
+
+@query(
+    "fn_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS net_revenue,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native SQL UDF (#43 cont., Spark 4 CREATE FUNCTION ...
+    RETURN): the discounted-revenue formula is defined ONCE as a catalog
+    function and referenced like a builtin — the governed way to share
+    business logic across queries (vs copy-pasted expressions or Python
+    UDFs that leave codegen). The body inlines into the plan, so it costs
+    nothing at execution; the oracle states the same inlined formula.
+    Exact DECIMAL inside, one cast to DOUBLE at the end (the repo's
+    standard money discipline)."""
+    _views(spark, sf_dir, ["lineitem"])
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_net_revenue")
+    # Body = the repo's canonical REVENUE_EXPR shape: full-precision
+    # decimal product, NO intermediate round-back (an extra CAST to
+    # DECIMAL(18,2) rounds each term and hash-diverges from the oracle).
+    spark.sql(
+        f"""CREATE TEMPORARY FUNCTION graft_net_revenue(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(38,6)
+        RETURN CAST(p AS {_D}) * (1 - CAST(d AS {_D}))"""
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(graft_net_revenue(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS net_revenue,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+_PIPE_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (#81 cont., Spark 4 |> operators): the same
+    pricing-summary logic written as a linear dataflow — FROM |> WHERE |>
+    AGGREGATE ... GROUP BY — instead of inside-out nested SQL. Purely a
+    parser front-end: the plan (and the hash) is identical to the
+    classic form the oracle states, which is exactly the guarantee a
+    team adopting pipe syntax needs."""
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE COUNT(*) AS cnt,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "fn_collation_casefold",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg_mixed
+      FROM customer
+    )
+    SELECT min(lower(seg_mixed)) AS segment, COUNT(*) AS cnt
+    FROM mixed GROUP BY lower(seg_mixed)
+    """,
+)
+def fn_collation_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (#43 cont., Spark 4 COLLATE): a
+    mixed-case segment column groups under UTF8_LCASE so 'BUILDING' and
+    'building' land in one bucket WITHOUT rewriting every reference
+    through lower() — collation travels with the type, the reader's
+    query stays clean, and comparisons/joins/sorts all follow. The
+    emitted key is min(lower(raw)) because the collated group's raw
+    representative is first-seen (order-dependent); the oracle mirrors
+    with explicit lower() grouping — same buckets, same counts."""
+    _views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END COLLATE UTF8_LCASE AS seg_mixed
+          FROM customer
+        )
+        SELECT CAST(min(lower(seg_mixed)) AS STRING COLLATE UTF8_BINARY) AS segment,
+               COUNT(*) AS cnt
+        FROM mixed GROUP BY seg_mixed
+        """
+    )

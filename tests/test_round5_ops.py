@@ -280,3 +280,33 @@ def test_variant_extraction_is_typed(spark):
     assert (out.k_min <= out.k_max).all()
     # props k values are 0..99 in the corpus
     assert (out.k_min >= 0).all() and (out.k_max <= 99).all()
+
+
+def test_sql_udf_inlines_and_matches_builtin_form(spark):
+    udf_form = QUERIES["fn_sql_udf"](spark, ORACLE_SF).toPandas()
+    assert len(udf_form) == 3
+    # identical totals to the hand-inlined expression
+    from mdb_to_postgres_spark.functions.compat import REVENUE_EXPR
+    want = (
+        spark.read.parquet(f"{ORACLE_SF}/lineitem.parquet")
+        .selectExpr("l_returnflag", f"{REVENUE_EXPR} AS r")
+        .groupBy("l_returnflag").sum("r").toPandas()
+    )
+    m = udf_form.merge(want, on="l_returnflag")
+    assert (m.net_revenue == m["sum(r)"].astype("float64")).all()
+
+
+def test_pipe_syntax_equals_classic_form(spark):
+    pipe = QUERIES["sql_pipe_syntax"](spark, ORACLE_SF).toPandas()
+    classic = QUERIES["agg_groupby"](spark, ORACLE_SF).toPandas()
+    m = pipe.merge(classic, on=["l_returnflag", "l_linestatus"])
+    assert len(m) == len(pipe) > 0
+    assert (m.cnt == m.count_order).all()
+    assert (m.sum_qty_x == m.sum_qty_y).all()
+
+
+def test_collation_casefolds_groups(spark):
+    out = QUERIES["fn_collation_casefold"](spark, ORACLE_SF).toPandas()
+    # exactly the five lowercase segments — no case-split buckets
+    assert len(out) == 5
+    assert (out.segment == out.segment.str.lower()).all()
