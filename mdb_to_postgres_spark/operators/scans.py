@@ -526,3 +526,46 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         with open(done_marker, "w") as f:
             f.write("ok")
     return spark.read.parquet(path).select(*cols)
+
+
+_SANITIZE_CASES = [
+    "Order Details", "Customer ID#", "2024 Sales", "  Ship-To Addr  ",
+    "TOTAL (USD)", "état", "a__b___c", "___", "Employees/Staff", "Re:Order%Qty",
+]
+
+
+@query(
+    "etl_sanitize_identifiers",
+    # Pinned like extract_schema: the sanitization convention is a
+    # CONTRACT (what a migrated table's columns are named), so the
+    # expected outputs are literals — a regression in any rule (case
+    # folding, punctuation collapse, leading digit, empty fallback,
+    # non-ASCII stripping) hash-fails instead of silently renaming
+    # migrated columns.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Order Details', 'order_details'),
+      ('Customer ID#', 'customer_id'),
+      ('2024 Sales', 'c_2024_sales'),
+      ('  Ship-To Addr  ', 'ship_to_addr'),
+      ('TOTAL (USD)', 'total_usd'),
+      ('état', 'tat'),
+      ('a__b___c', 'a_b_c'),
+      ('___', 'col'),
+      ('Employees/Staff', 'employees_staff'),
+      ('Re:Order%Qty', 're_order_qty')
+    ) t(raw_name, sanitized)
+    """,
+)
+def etl_sanitize_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier sanitization (#3 cont., the reference's Access->Postgres
+    naming convention): messy JET object names — spaces, punctuation,
+    reserved characters, leading digits, non-ASCII, all-punctuation —
+    map to safe lowercase SQL identifiers via etl.typemap
+    .sanitize_identifier. Catalog metadata, so rows are built
+    driver-side like list_tables; the oracle pins every rule's expected
+    output as literals."""
+    from ..etl.typemap import sanitize_identifier
+
+    rows = [(c, sanitize_identifier(c)) for c in _SANITIZE_CASES]
+    return spark.createDataFrame(rows, "raw_name: string, sanitized: string")

@@ -636,7 +636,8 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     curve AS (
       SELECT t, d,
-             SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS concurrent
+             CAST(SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrent
       FROM bounds
     )
     SELECT (t // 3600) * 3600 AS hour_start,
