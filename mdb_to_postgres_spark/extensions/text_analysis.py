@@ -874,3 +874,89 @@ def x_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("exact")).alias("overcount"),
         )
     )
+
+
+_BM25_TERMS = ("hash", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dlen AS DOUBLE)) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+  WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(
+           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({_BM25_K1} + 1.0))
+           / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * l.dlen / s.avgdl)),
+         6) AS term_score
+  FROM tf t
+  JOIN df d ON t.term = d.term
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+       COUNT(*) AS terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@query("x_text_bm25_retrieval", oracle=_BM25_SQL)
+def x_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (#64 cont.): top-20 documents for the query
+    {hash, join, filter} under Okapi BM25 (k1=1.2, b=0.75) — the lexical
+    baseline every hybrid retrieval stack pairs with the ANN tier
+    (x_sim_*). All inputs are integer counts off the token index; each
+    per-term score does its float ops in one fixed expression, is rounded
+    to 6 decimals, and accumulates as exact DECIMAL, so ranking is
+    order-free and cross-engine stable (the token_entropy discipline).
+    Corpus stats (N, avgdl) are a broadcast single-row aggregate folded
+    into the plan. At 100 TB the df/dl tables are the persisted index; a
+    query is two broadcast joins against it."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dlen").cast("double")).alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    term_score = F.round(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 6)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("bm25"),
+            F.count("*").alias("terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )

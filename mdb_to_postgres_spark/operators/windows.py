@@ -689,3 +689,84 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("boundary_events"),
         )
     )
+
+
+_EWMA_LAGS = 8
+# alpha = 3/10 exactly: w_i = 3 * 7^i / 10^(i+1). Scaled to the common
+# denominator 10^8 every weight is an INTEGER, so the weighted sum is
+# exact DECIMAL arithmetic end to end — no float ROUND anywhere (Spark
+# rounds doubles via BigDecimal's shortest decimal string, DuckDB via a
+# float multiply/rint path, and they disagree in the low digits on most
+# values; integer weights sidestep the whole class).
+_EWMA_W = [3 * 7**i * 10 ** (7 - i) for i in range(_EWMA_LAGS)]
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(weighted-sum, weight-sum) expressions over lag columns x0..x7 —
+    exact DECIMAL terms, same text both engines."""
+    ws = " + ".join(
+        f"CAST(CASE WHEN x{i} IS NULL THEN 0 ELSE CAST(x{i} AS DECIMAL(18,2))"
+        f" * {w} END AS DECIMAL(38,2))"
+        for i, w in enumerate(_EWMA_W)
+    )
+    ns = " + ".join(
+        f"CAST(CASE WHEN x{i} IS NULL THEN 0 ELSE {w} END AS BIGINT)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return ws, ns
+
+
+_EWMA_WSUM, _EWMA_NSUM = _ewma_terms_sql()
+_EWMA_LAG_COLS = ", ".join(
+    f"LAG(value, {i}) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS x{i}"
+    for i in range(_EWMA_LAGS)
+)
+
+
+@query(
+    "win_ewma_bounded",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+             {_EV_SEC} AS ts_sec FROM events
+    ),
+    lagged AS (
+      SELECT event_id, user_id, value, {_EWMA_LAG_COLS}
+      FROM ev
+    )
+    SELECT event_id, user_id, value,
+           CAST(({_EWMA_WSUM}) AS DOUBLE)
+             / CAST(({_EWMA_NSUM}) AS DOUBLE) AS ewma
+    FROM lagged
+    """,
+)
+def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted moving average (#36 cont.): per-user
+    EWMA of event values over the last 8 observations, alpha = 3/10, with
+    the weight mass renormalized over the lags that actually exist (warm-
+    up rows smooth over fewer points instead of emitting NULL). True
+    recursive EWMA is not window-expressible; the 8-lag truncation
+    carries (7/10)^8 = 5.8% residual mass — documented and deterministic.
+    Exactness: alpha is rational, so integer-scaled weights make the
+    numerator exact DECIMAL and the denominator exact BIGINT; the single
+    IEEE divide of their (correctly-rounded) double conversions is
+    bit-identical cross-engine. One shuffle on user_id."""
+    ev = events_ts(spark, sf_dir).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value"), "ts_sec"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"x{i}") for i in range(_EWMA_LAGS)],
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.expr(f"CAST(({_EWMA_WSUM}) AS DOUBLE)")
+            / F.expr(f"CAST(({_EWMA_NSUM}) AS DOUBLE)")
+        ).alias("ewma"),
+    )

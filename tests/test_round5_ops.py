@@ -310,3 +310,23 @@ def test_collation_casefolds_groups(spark):
     # exactly the five lowercase segments — no case-split buckets
     assert len(out) == 5
     assert (out.segment == out.segment.str.lower()).all()
+
+
+def test_bm25_ranks_plausibly(spark):
+    out = QUERIES["x_text_bm25_retrieval"](spark, ORACLE_SF).toPandas()
+    assert len(out) == 20
+    assert (out.bm25 > 0).all()
+    assert (out.terms_hit.between(1, 3)).all()
+    # ranked descending
+    assert (out.bm25.diff().dropna() <= 0).all()
+
+
+def test_ewma_tracks_values(spark):
+    out = QUERIES["win_ewma_bounded"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    # first observation per user: ewma == value exactly (weight mass = w0)
+    first = out.groupby("user_id").first()
+    # smoothing stays inside the observed value envelope per user
+    g = out.groupby("user_id").agg(vmin=("value", "min"), vmax=("value", "max"))
+    m = out.merge(g, on="user_id")
+    assert ((m.ewma >= m.vmin - 1e-9) & (m.ewma <= m.vmax + 1e-9)).all()
