@@ -1062,3 +1062,90 @@ def x_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from .text_analysis import _BM25_SQL
+
+    cos = _sql_cosine("q.embedding", "c.embedding")
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM (
+        {_BM25_SQL}
+      )
+    ),
+    vec AS (
+      SELECT c.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id) AS r
+      FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE c.vec_id >= 20
+      ORDER BY {cos} DESC, c.vec_id LIMIT 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + v.r), 0.0) AS rrf,
+             l.r AS lex_rank, v.r AS vec_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf, lex_rank, vec_rank,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@query("x_sim_hybrid_rrf", oracle=_rrf_oracle())
+def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (#62 cont.): the BM25
+    lexical top-20 (x_text_bm25_retrieval's fixed query) and the vector
+    top-20 (cosine to query vec 0) fuse by rrf = sum 1/(60 + rank) —
+    the standard score-free combiner for hybrid search stacks (no
+    cross-system score calibration needed, only ranks). Ranks are exact
+    integers, the two-term rrf sum is one fixed-order float expression,
+    ties break by doc id — fully deterministic. Each arm reuses its
+    tier's index shape; fusion itself is a FULL OUTER join of two
+    20-row lists — trivially broadcast at any corpus size."""
+    from .text_analysis import x_text_bm25_retrieval
+
+    lex = x_text_bm25_retrieval(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    e = T(spark, sf_dir, "embeddings")
+    qv = flat_emb(e.filter(F.col("vec_id") == 0), "qid", "q")
+    corpus = flat_corpus(spark, sf_dir)
+    cos = dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
+    vec = (
+        corpus.crossJoin(F.broadcast(qv))
+        .select(F.col("neighbor_id").alias("doc_id"), cos.alias("cos_sim"))
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))),
+        )
+        .filter(F.col("vec_rank") <= 20)
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+        )
+    )
+    return (
+        fused.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        )
+        .filter(F.col("rn") <= 10)
+    )

@@ -154,3 +154,56 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = T(spark, sf_dir, "orders").select((F.col("o_custkey") % 7).alias("bucket"))
     b = T(spark, sf_dir, "customer").select((F.col("c_nationkey") % 7).alias("bucket"))
     return a.exceptAll(b)
+
+
+@query(
+    "sort_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE (o_totalprice, o_orderkey) > (
+      SELECT (o_totalprice, o_orderkey) FROM orders
+      ORDER BY o_totalprice, o_orderkey LIMIT 1 OFFSET 99
+    )
+    ORDER BY o_totalprice, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination (#40 cont.): page 3 of the
+    (o_totalprice, o_orderkey) order fetched by WHERE key > last-seen-key
+    + LIMIT, not OFFSET — OFFSET n scans and discards n rows EVERY page
+    (O(n^2) to walk a 100 TB result; on a sorted/Z-ordered layout the
+    keyset predicate instead prunes at the scan). The demo derives the
+    boundary key from the previous page deterministically; Spark plans
+    the page fetch as TakeOrderedAndProject over the filtered scan — no
+    global sort (plan-asserted class, same as limit_topk). The tuple
+    comparison decomposes to (p > b_p) OR (p = b_p AND k > b_k) for
+    engines without row-value syntax."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # boundary = last row of page 2 (rows 0-99), computed the keyset way:
+    # the previous page's final key arrives from the client; here derived
+    # in-plan for determinism.
+    boundary = (
+        o.orderBy("o_totalprice", "o_orderkey")
+        .limit(100)
+        .orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("b_price"), F.col("o_orderkey").alias("b_key")
+        )
+    )
+    page = (
+        o.crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("o_totalprice") > F.col("b_price"))
+            | (
+                (F.col("o_totalprice") == F.col("b_price"))
+                & (F.col("o_orderkey") > F.col("b_key"))
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_totalprice", "o_orderkey")
+        .limit(50)
+    )
+    return page

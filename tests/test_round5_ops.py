@@ -330,3 +330,34 @@ def test_ewma_tracks_values(spark):
     g = out.groupby("user_id").agg(vmin=("value", "min"), vmax=("value", "max"))
     m = out.merge(g, on="user_id")
     assert ((m.ewma >= m.vmin - 1e-9) & (m.ewma <= m.vmax + 1e-9)).all()
+
+
+def test_hybrid_rrf_fuses_both_arms(spark):
+    out = QUERIES["x_sim_hybrid_rrf"](spark, ORACLE_SF).toPandas()
+    assert len(out) == 10
+    # every fused row came from at least one arm
+    assert ((out.lex_rank.notna()) | (out.vec_rank.notna())).all()
+    # a doc ranked by both arms outranks one ranked by a single arm at
+    # similar positions (structural property of rrf)
+    both = out[out.lex_rank.notna() & out.vec_rank.notna()]
+    if len(both) > 0:
+        single = out[out.lex_rank.isna() | out.vec_rank.isna()]
+        if len(single) > 0:
+            assert both.rrf.max() >= single.rrf.max()
+    # ranked descending
+    assert (out.sort_values("rn").rrf.diff().dropna() <= 1e-12).all()
+
+
+def test_keyset_page_continues_exactly(spark):
+    page3 = QUERIES["sort_keyset_pagination"](spark, ORACLE_SF).toPandas()
+    assert len(page3) == 50
+    # equals rows 100-149 of the full OFFSET ordering
+    full = (
+        spark.read.parquet(f"{ORACLE_SF}/orders.parquet")
+        .orderBy("o_totalprice", "o_orderkey")
+        .limit(150)
+        .toPandas()
+        .iloc[100:150]
+        .reset_index(drop=True)
+    )
+    assert page3.o_orderkey.tolist() == full.o_orderkey.tolist()
