@@ -717,3 +717,68 @@ def x_pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFra
         neg.alias("negative"),
         F.col("jaccard").alias("pos_jaccard"),
     )
+
+
+@query(
+    "etl_cdc_extract",
+    oracle=f"""
+    WITH v2 AS ({_V2_SQL}),
+    h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    h2 AS (SELECT doc_id, md5(text) AS h FROM v2),
+    j AS (
+      SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id, h1.h AS old_h, h2.h AS new_h
+      FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
+    ),
+    ops AS (
+      SELECT doc_id,
+             CASE WHEN old_h IS NULL THEN 'insert'
+                  WHEN new_h IS NULL THEN 'delete'
+                  ELSE 'update' END AS op,
+             CASE WHEN old_h IS NULL THEN 1 WHEN new_h IS NULL THEN 0 ELSE 2 END
+               AS op_class,
+             COALESCE(new_h, old_h) AS content_hash
+      FROM j WHERE old_h IS NULL OR new_h IS NULL OR old_h <> new_h
+    )
+    SELECT op, doc_id, content_hash,
+           ROW_NUMBER() OVER (ORDER BY op_class, doc_id) AS op_seq
+    FROM ops
+    """,
+)
+def etl_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction (#78 cont., the inverse of stream_cdc_upsert): diff
+    two table snapshots into an ORDERED change feed — deletes first
+    (op_class 0), then inserts, then updates, each by key — such that
+    replaying the feed through a MERGE sink reconstructs v2 from v1
+    exactly. This is how a pipeline without database-native CDC (the
+    Access-export world of the reference) still ships incremental
+    changes downstream: hash-compare snapshots, emit only churn. Shuffle
+    carries ids + 32-byte hashes, never document bytes; feed size is
+    proportional to churn, not corpus."""
+    v1 = T(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("old_h"))
+    v2 = _corpus_v2(spark, sf_dir).select("doc_id", F.md5("text").alias("new_h"))
+    j = v1.join(v2, "doc_id", "full_outer")
+    op = (
+        F.when(F.col("old_h").isNull(), "insert")
+        .when(F.col("new_h").isNull(), "delete")
+        .otherwise("update")
+    )
+    op_class = (
+        F.when(F.col("old_h").isNull(), 1).when(F.col("new_h").isNull(), 0).otherwise(2)
+    )
+    ops = (
+        j.filter(
+            F.col("old_h").isNull()
+            | F.col("new_h").isNull()
+            | (F.col("old_h") != F.col("new_h"))
+        )
+        .select(
+            op.alias("op"),
+            "doc_id",
+            F.coalesce("new_h", "old_h").alias("content_hash"),
+            op_class.alias("op_class"),
+        )
+    )
+    w = Window.orderBy("op_class", "doc_id")
+    return ops.select(
+        "op", "doc_id", "content_hash", F.row_number().over(w).alias("op_seq")
+    )

@@ -594,3 +594,57 @@ def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z", 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "agg_benford_digits",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM cents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM digits)
+    SELECT digit,
+           COUNT(*) AS cnt,
+           ROUND(COUNT(*) / CAST(n.total AS DOUBLE), 6) AS share,
+           ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_expected
+    FROM digits, n
+    GROUP BY digit, n.total
+    """,
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (#32 cont.): the leading-digit
+    distribution of order totals vs Benford's law expectation — the
+    classic audit/fraud red-flag report (fabricated amounts over-sample
+    digits 5-9). First digits are extracted EXACTLY: price -> integer
+    cents via DECIMAL (never float multiply), then the first character
+    of the integer's decimal string — identical in both engines, no
+    log10 boundary hazard at powers of ten. One aggregation; the digit
+    histogram is 9 rows at any scale. (Uniform synthetic prices do NOT
+    follow Benford — the report shows the deviation, which is the
+    point of the screen.)"""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c")
+    )
+    digit = F.expr("CAST(substring(CAST(c AS STRING), 1, 1) AS INT)")
+    n = cents.agg(F.count("*").alias("total"))
+    return (
+        cents.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
+                "benford_expected"
+            ),
+        )
+    )

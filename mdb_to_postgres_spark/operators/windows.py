@@ -770,3 +770,31 @@ def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.expr(f"CAST(({_EWMA_NSUM}) AS DOUBLE)")
         ).alias("ewma"),
     )
+
+
+@query(
+    "win_quantile_normalize",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events
+    )
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS qnorm
+    FROM ev
+    """,
+)
+def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization (#37 cont.): each value maps to
+    its within-group percent rank — the distribution-free [0,1] feature
+    transform ML preprocessing uses when magnitudes are unreliable
+    (heavy tails, sensor drift). percent_rank = (rank-1)/(n-1) with tied
+    values sharing the min rank is defined identically in both engines,
+    so even ties are deterministic. One shuffle + sort per group; at
+    100 TB the same transform runs per feature shard."""
+    ev = events_ts(spark, sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type", "value", F.percent_rank().over(w).alias("qnorm")
+    )

@@ -361,3 +361,39 @@ def test_keyset_page_continues_exactly(spark):
         .reset_index(drop=True)
     )
     assert page3.o_orderkey.tolist() == full.o_orderkey.tolist()
+
+
+def test_cdc_extract_feed_reconstructs_v2(spark):
+    feed = QUERIES["etl_cdc_extract"](spark, ORACLE_SF).toPandas()
+    assert len(feed) > 0
+    # deletes ordered before inserts before updates
+    cls = feed.sort_values("op_seq").op.map({"delete": 0, "insert": 1, "update": 2})
+    assert (cls.diff().dropna() >= 0).all()
+    # replay sanity: applying the feed to v1's id set yields v2's id set
+    from mdb_to_postgres_spark.extensions.pipeline import _corpus_v2
+    v1_ids = set(
+        spark.read.parquet(f"{ORACLE_SF}/documents.parquet").toPandas().doc_id
+    )
+    v2_ids = set(_corpus_v2(spark, ORACLE_SF).select("doc_id").toPandas().doc_id)
+    ids = set(v1_ids)
+    for _, r in feed.sort_values("op_seq").iterrows():
+        if r.op == "delete":
+            ids.discard(r.doc_id)
+        elif r.op == "insert":
+            ids.add(r.doc_id)
+    assert ids == v2_ids
+
+
+def test_quantile_normalize_range_and_monotone(spark):
+    out = QUERIES["win_quantile_normalize"](spark, ORACLE_SF).toPandas()
+    assert ((out.qnorm >= 0) & (out.qnorm <= 1)).all()
+    # within a group, qnorm is monotone in value
+    srt = out.sort_values(["event_type", "value"])
+    assert (srt.groupby("event_type").qnorm.diff().dropna() >= 0).all()
+
+
+def test_benford_shares_sum_to_one(spark):
+    out = QUERIES["agg_benford_digits"](spark, ORACLE_SF).toPandas()
+    assert set(out.digit) <= set(range(1, 10))
+    assert abs(out.share.sum() - 1.0) < 1e-4
+    assert abs(out.benford_expected.sum() - 1.0) < 1e-4
