@@ -492,3 +492,93 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_cnt",
         )
     )
+
+
+@query(
+    "stream_ab_test_report",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                       > COUNT(*) THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS users,
+             CAST(SUM(converted) AS BIGINT) AS conversions
+      FROM u GROUP BY variant
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN users END) AS users_a,
+        MAX(CASE WHEN variant = 'A' THEN conversions END) AS conv_a,
+        MAX(CASE WHEN variant = 'B' THEN users END) AS users_b,
+        MAX(CASE WHEN variant = 'B' THEN conversions END) AS conv_b
+      FROM v
+    )
+    SELECT users_a, conv_a,
+           CAST(conv_a AS DOUBLE) / users_a AS rate_a,
+           users_b, conv_b,
+           CAST(conv_b AS DOUBLE) / users_b AS rate_b,
+           (CAST(conv_a AS DOUBLE) / users_a - CAST(conv_b AS DOUBLE) / users_b)
+           / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                  * (1.0 / users_a + 1.0 / users_b)) AS z_score
+    FROM w
+    """,
+)
+def stream_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion report (#57 cont.): users split into variants by the
+    stable id hash (here parity), conversion = purchase share above the
+    uniform expectation (>1/5 of the user's events — every synthetic
+    user purchases at least once, so 'any purchase' would be the
+    degenerate p=1), and the
+    two-proportion pooled z-statistic quantifies the lift — the
+    experimentation readout every product pipeline serves. All inputs
+    are exact integers; the z formula is ONE textually identical float
+    expression in both engines, so the statistic is bit-deterministic.
+    Two thin aggregations (per-user flag, per-variant rollup) then a
+    1-row pivot — runs incrementally under streaming as a keyed
+    last-flag state + tiny rollup."""
+    e = _events(spark, sf_dir)
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) * 5
+                > F.count("*"),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+            "converted",
+        )
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("users"), F.sum("converted").cast("bigint").alias("conversions")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("users"))).alias("users_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conversions"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("users"))).alias("users_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conversions"))).alias("conv_b"),
+    )
+    z = F.expr(
+        """(CAST(conv_a AS DOUBLE) / users_a - CAST(conv_b AS DOUBLE) / users_b)
+           / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                  * (1.0D - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                  * (1.0D / users_a + 1.0D / users_b))"""
+    )
+    return w.select(
+        "users_a",
+        "conv_a",
+        (F.col("conv_a").cast("double") / F.col("users_a")).alias("rate_a"),
+        "users_b",
+        "conv_b",
+        (F.col("conv_b").cast("double") / F.col("users_b")).alias("rate_b"),
+        z.alias("z_score"),
+    )

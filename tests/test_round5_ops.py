@@ -397,3 +397,18 @@ def test_benford_shares_sum_to_one(spark):
     assert set(out.digit) <= set(range(1, 10))
     assert abs(out.share.sum() - 1.0) < 1e-4
     assert abs(out.benford_expected.sum() - 1.0) < 1e-4
+
+
+def test_ab_report_consistency(spark):
+    r = QUERIES["stream_ab_test_report"](spark, ORACLE_SF).toPandas().iloc[0]
+    assert r.users_a > 0 and r.users_b > 0
+    assert 0 <= r.conv_a <= r.users_a and 0 <= r.conv_b <= r.users_b
+    assert abs(r.rate_a - r.conv_a / r.users_a) < 1e-12
+    # parity split covers every user exactly once
+    n_users = (
+        spark.read.parquet(f"{ORACLE_SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert r.users_a + r.users_b == n_users
+    import math
+    assert math.isfinite(r.z_score)
