@@ -412,3 +412,11 @@ def test_ab_report_consistency(spark):
     assert r.users_a + r.users_b == n_users
     import math
     assert math.isfinite(r.z_score)
+
+
+def test_join_size_sketch_is_accurate(spark):
+    r = QUERIES["agg_join_size_sketch"](spark, ORACLE_SF).toPandas().iloc[0]
+    # AGMS is unbiased; at 4x512 the averaged estimate sits within a
+    # wide +-20% band (measured ~3-4% on this corpus)
+    assert 0.8 <= r.est_over_exact <= 1.2, r.to_dict()
+    assert r.exact_rows > 0
