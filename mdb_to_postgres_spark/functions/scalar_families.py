@@ -390,3 +390,34 @@ def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+_SOUNDEX_CASES = [
+    ("ACME Corp", "A252"), ("Acme Corporation", "A252"),
+    ("Smith", "S530"), ("Smyth", "S530"),
+    ("Johnson", "J525"), ("Jonson", "J525"),
+    ("Mueller", "M460"), ("Miller", "M460"),
+    ("Robert", "R163"), ("Rupert", "R163"),
+]
+
+
+@query(
+    "fn_phonetic_soundex",
+    # DuckDB has no soundex; the expected codes are pinned literals (the
+    # etl_sanitize_identifiers treatment) — an algorithm change in
+    # Spark's soundex would hash-fail against the published code table.
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{n}', '{c}')" for n, c in _SOUNDEX_CASES)
+    + ") t(name, sx)",
+)
+def fn_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding (#43 cont.): soundex codes for a pinned fixture
+    of name variants — Smith/Smyth, Johnson/Jonson, Mueller/Miller land
+    on shared codes, which is exactly why soundex is the classic
+    BLOCKING key for entity resolution: candidate pairs come from a
+    groupBy on the code (the x_dedup_fuzzy_names pattern with a phonetic
+    block instead of a head-noun block), and expensive edit-distance
+    runs only within blocks."""
+    rows = [(n,) for n, _ in _SOUNDEX_CASES]
+    df = spark.createDataFrame(rows, "name: string")
+    return df.select("name", F.soundex("name").alias("sx"))

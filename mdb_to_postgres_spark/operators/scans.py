@@ -569,3 +569,60 @@ def etl_sanitize_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [(c, sanitize_identifier(c)) for c in _SANITIZE_CASES]
     return spark.createDataFrame(rows, "raw_name: string, sanitized: string")
+
+
+@query(
+    "scan_json_malformed",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey % 7 = 3 THEN 1 ELSE 0 END AS quarantined
+    FROM nation
+    """,
+)
+def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSON load (#7b cont., the JSONL twin of
+    scan_csv_malformed): every 7th record is written with truncated,
+    unparseable JSON; PERMISSIVE mode yields NULL fields for those rows
+    and captures the raw text in _corrupt_record — the quarantine column
+    — instead of failing the feed. The result reports each record's
+    parsed key, surviving fields, and quarantine flag; at scale the
+    flagged raw lines land in a reject sink for replay after the
+    producer is fixed. (The key survives for corrupted rows here because
+    the corruption injector preserves the prefix — the realistic
+    truncated-write failure mode.)"""
+    path = _cache_dir(sf_dir, "nation_malformed_json")
+    if not _cache_complete(path):
+        n = tbl(spark, sf_dir, "nation")
+        line = F.when(
+            F.col("n_nationkey") % 7 == 3,
+            # truncated mid-record: the classic crashed-producer artifact
+            F.concat(F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string"), F.lit(', "n_na')),
+        ).otherwise(
+            F.concat(
+                F.lit('{"n_nationkey": '),
+                F.col("n_nationkey").cast("string"),
+                F.lit(', "n_name": "'),
+                F.col("n_name"),
+                F.lit('"}'),
+            )
+        )
+        n.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    return raw.select(
+        F.coalesce(
+            "n_nationkey",
+            F.regexp_extract("_corrupt_record", r'"n_nationkey": (\d+)', 1).cast("int"),
+        ).alias("n_nationkey"),
+        "n_name",
+        F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0).alias("quarantined"),
+    )

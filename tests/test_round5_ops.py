@@ -420,3 +420,25 @@ def test_join_size_sketch_is_accurate(spark):
     # wide +-20% band (measured ~3-4% on this corpus)
     assert 0.8 <= r.est_over_exact <= 1.2, r.to_dict()
     assert r.exact_rows > 0
+
+
+def test_json_malformed_quarantines_and_survives(spark):
+    out = QUERIES["scan_json_malformed"](spark, ORACLE_SF).toPandas()
+    assert len(out) == 25  # all nation rows survive the corrupted feed
+    bad = out[out.quarantined == 1]
+    good = out[out.quarantined == 0]
+    assert len(bad) > 0 and len(good) > 0
+    assert bad.n_name.isna().all()
+    assert good.n_name.notna().all()
+    # keys recoverable even for quarantined rows
+    assert out.n_nationkey.notna().all()
+
+
+def test_soundex_blocks_name_variants(spark):
+    out = QUERIES["fn_phonetic_soundex"](spark, ORACLE_SF).toPandas()
+    codes = dict(zip(out.name, out.sx))
+    assert codes["Smith"] == codes["Smyth"]
+    assert codes["Johnson"] == codes["Jonson"]
+    assert codes["ACME Corp"] == codes["Acme Corporation"]
+    # distinct families stay apart
+    assert codes["Smith"] != codes["Johnson"]
