@@ -21,6 +21,7 @@ Scale notes (same plans a 100 TB run wants):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import T
@@ -781,4 +782,36 @@ def fn_collation_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS cnt
         FROM mixed GROUP BY seg_mixed
         """
+    )
+
+
+@query(
+    "sql_distinct_on",
+    # DuckDB implements the Postgres idiom natively — the oracle IS the
+    # source dialect a migrated application was written in.
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres DISTINCT ON (#13 cont.): each customer's most recent order
+    — THE Postgres idiom a migrated application leans on (the reference
+    targets Postgres, so its users write this daily). Spark has no
+    DISTINCT ON; the faithful translation is the ranked-window keep-rn=1
+    rewrite with the ORDER BY's remaining keys as the ranking — same
+    rows, same tie behavior, and the window form is what survives at
+    100 TB (one shuffle on the DISTINCT ON key)."""
+    o = T(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     )

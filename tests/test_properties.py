@@ -162,3 +162,31 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
             None if pd.isna(row.payload) else int(row.payload),
         )
         assert got[row.lid] == want, (row.lid, got[row.lid], want)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_sanitize_identifier_laws(name):
+    """The Access->Postgres identifier convention, as laws: the output is
+    always a legal lowercase SQL identifier, and the mapping is
+    idempotent (re-sanitizing a sanitized name is a no-op — the property
+    that makes re-running a migration safe)."""
+    from mdb_to_postgres_spark.etl.typemap import sanitize_identifier as s
+
+    out = s(name)
+    import re
+    assert re.fullmatch(r"[a-z_][a-z0-9_]*", out), (name, out)
+    assert "__" not in out
+    assert s(out) == out, (name, out, s(out))
+
+
+@given(st.integers(min_value=0, max_value=65535), st.integers(min_value=0, max_value=65535))
+@settings(max_examples=300, deadline=None)
+def test_morton_interleave_is_bijective(x, y):
+    """The Z-order bit interleave (operators/physical.py::_morton_sql) in
+    pure-Python mirror form: deinterleaving recovers both coordinates
+    exactly, so Morton sorting never conflates distinct key pairs."""
+    m = sum(((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1) for b in range(16))
+    rx = sum(((m >> (2 * b)) & 1) << b for b in range(16))
+    ry = sum(((m >> (2 * b + 1)) & 1) << b for b in range(16))
+    assert (rx, ry) == (x, y)
