@@ -328,3 +328,24 @@ def test_profile_is_single_scan(spark):
 def test_triplets_corpus_count_broadcast(spark):
     plan = explain_str(QUERIES["x_pipeline_contrastive_triplets"](spark, ORACLE_SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_plan_antipatterns_anywhere(spark):
+    """Sweep EVERY registered query's physical plan at sf0.001: no
+    un-broadcast CartesianProduct and no row-at-a-time Python eval
+    (BatchEvalPython) may appear anywhere — the UDF tier is Arrow-
+    vectorized (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas),
+    and every cross join carries a broadcast side
+    (BroadcastNestedLoopJoin). ~50s for all plans; this is the whole
+    anti-pattern audit as one assertion instead of per-query spot
+    checks."""
+    from mdb_to_postgres_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    flagged = {}
+    for name, fn in QUERIES.items():
+        plan = explain_str(fn(spark, sf))
+        hits = [k for k in ("CartesianProduct", "BatchEvalPython") if k in plan]
+        if hits:
+            flagged[name] = hits
+    assert not flagged, flagged
