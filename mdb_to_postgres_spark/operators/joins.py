@@ -377,3 +377,99 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
         .select("event_id", "label")
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             CAST(FLOOR(EXTRACT(epoch FROM o_orderdate)) AS BIGINT) AS vfrom
+      FROM orders WHERE o_custkey < 500
+    ),
+    fact AS (
+      SELECT DISTINCT l.l_orderkey, l.l_linenumber, o.o_custkey,
+             CAST(FLOOR(EXTRACT(epoch FROM l.l_shipdate)) AS BIGINT) AS ship_sec
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < 500
+    ),
+    pit AS (
+      SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.ship_sec,
+             d.o_orderkey AS version_key, d.o_orderstatus AS status_at_ship,
+             ROW_NUMBER() OVER (
+               PARTITION BY f.l_orderkey, f.l_linenumber, f.ship_sec
+               ORDER BY d.vfrom DESC, d.o_orderkey DESC) AS rn
+      FROM fact f JOIN dim d
+        ON f.o_custkey = d.o_custkey AND d.vfrom <= f.ship_sec
+    )
+    SELECT l_orderkey, l_linenumber, o_custkey, ship_sec,
+           version_key, status_at_ship
+    FROM pit WHERE rn = 1
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join (#23 cont.): each shipment fact gets the
+    customer's dimension version that was VALID AT SHIP TIME — the
+    temporal-correctness join feature stores and warehouse audits demand
+    (joining is_current instead silently leaks the future into training
+    features). The dim is the SCD2 status timeline (etl_scd2_history's
+    intervals, where valid_to = next valid_from, so latest-at-or-before
+    == interval containment); the fact is every lineitem at its ship
+    date. Spark side = the union+window asof formulation (one shuffle on
+    the entity key, one ordered pass — never the per-pair inequality
+    join the oracle can afford at sf); ties break toward the newest
+    version by (vfrom, version_key), both engines."""
+    from pyspark.sql.window import Window
+
+    from .asof import asof_join
+    from ..sources.tables import T as _tbl
+
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    dim = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderstatus").alias("status_at_ship"),
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias("vfrom"),
+    )
+    # within-second version ties resolve to the max version_key: pre-pick
+    # the winner per (custkey, vfrom) so the asof carry sees one candidate
+    dim1 = (
+        dim.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("o_custkey", "vfrom").orderBy(F.desc("version_key"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    li = _tbl(spark, sf_dir, "lineitem")
+    fact = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.unix_seconds(F.col("l_shipdate").cast("timestamp")).alias("ship_sec"),
+        )
+        # (orderkey, linenumber) is NOT unique in this synthetic corpus
+        # (60000 rows / 45832 distinct pairs) — dedup the full fact tuple
+        # so the PIT result is keyed identically in both engines
+        .distinct()
+    )
+    return asof_join(
+        fact,
+        dim1,
+        on=["o_custkey"],
+        left_ts="ship_sec",
+        right_ts="vfrom",
+        right_cols=["version_key", "status_at_ship"],
+        how="inner",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "ship_sec",
+        F.col("r_version_key").alias("version_key"),
+        F.col("r_status_at_ship").alias("status_at_ship"),
+    )

@@ -626,3 +626,49 @@ def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0).alias("quarantined"),
     )
+
+
+@query(
+    "etl_pseudonymize_keys",
+    oracle="""
+    WITH pe AS (
+      SELECT 'u_' || substr(md5('pszn1:' || CAST(user_id AS VARCHAR)), 1, 12) AS utoken,
+             event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT utoken,
+           COUNT(*) AS event_cnt,
+           COUNT(DISTINCT event_type) AS type_cnt,
+           CAST(SUM(v) AS DOUBLE) AS value_sum
+    FROM pe GROUP BY utoken
+    """,
+)
+def etl_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization (#12 cont., the governance step between
+    raw keys and shareable analytics): user ids are replaced by salted-
+    hash surrogate tokens — same id always maps to the same token, so
+    grouping, joining and longitudinal analysis still work across
+    independently pseudonymized tables, while the raw key never leaves
+    the trust boundary (reversal requires the salt + a brute-forceable
+    id space, which is why production uses a keyed HMAC or a vaulted
+    mapping table — this shape is the plumbing either plugs into). The
+    whole per-user analysis here runs entirely in token space and
+    hash-checks cross-engine."""
+    ev = tbl(spark, sf_dir, "events")
+    token = F.concat(
+        F.lit("u_"),
+        F.substring(F.md5(F.concat(F.lit("pszn1:"), F.col("user_id").cast("string"))), 1, 12),
+    )
+    return (
+        ev.select(
+            token.alias("utoken"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("utoken")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.countDistinct("event_type").alias("type_cnt"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+    )

@@ -442,3 +442,35 @@ def test_soundex_blocks_name_variants(spark):
     assert codes["ACME Corp"] == codes["Acme Corporation"]
     # distinct families stay apart
     assert codes["Smith"] != codes["Johnson"]
+
+
+def test_distinct_on_latest_per_customer(spark):
+    out = QUERIES["sql_distinct_on"](spark, ORACLE_SF).toPandas()
+    assert out.o_custkey.is_unique
+    # spot-check one customer: the returned order is their max orderdate
+    orders = spark.read.parquet(f"{ORACLE_SF}/orders.parquet").toPandas()
+    ck = out.o_custkey.iloc[0]
+    mine = orders[orders.o_custkey == ck]
+    assert out[out.o_custkey == ck].o_orderdate.iloc[0] == mine.o_orderdate.max()
+
+
+def test_pit_join_never_leaks_the_future(spark):
+    out = QUERIES["join_point_in_time"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    dim = spark.read.parquet(f"{ORACLE_SF}/orders.parquet").toPandas()
+    vfrom = dim.set_index("o_orderkey").o_orderdate.astype("int64") // 10**9
+    # the matched version's validity start is never after the fact time
+    assert (out.version_key.map(vfrom) <= out.ship_sec).all()
+
+
+def test_pseudonymization_is_consistent_and_masking(spark):
+    out = QUERIES["etl_pseudonymize_keys"](spark, ORACLE_SF).toPandas()
+    n_users = (
+        spark.read.parquet(f"{ORACLE_SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    # bijective on this id space: one token per user, no collisions
+    assert len(out) == n_users
+    assert out.utoken.is_unique
+    # tokens reveal nothing structural about the raw id
+    assert out.utoken.str.fullmatch(r"u_[0-9a-f]{12}").all()
