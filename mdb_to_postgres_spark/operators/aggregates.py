@@ -755,3 +755,86 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_over_exact"),
         )
     )
+
+
+_AUTOCORR_ORACLE: str | None = None
+
+
+def _autocorr_oracle() -> str:
+    """Built lazily so the events-generation probe runs once, at registry
+    load, via the same ev_sec_sql used by every other events oracle."""
+    from ..sources.tables import ev_sec_sql
+
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS x,
+             LAG(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY event_type ORDER BY {ev_sec_sql('ts')}, event_id) AS y
+      FROM events
+    ),
+    moments AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM seq WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy)
+           / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS autocorr_lag1
+    FROM moments
+    """
+
+
+from ..sources.tables import events_ts  # noqa: E402  (events axis helper)
+
+
+@query("agg_autocorr_lag", oracle=_autocorr_oracle())
+def agg_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of events.value per event_type (#32 cont.) —
+    the time-series self-similarity statistic behind seasonality detection
+    and forecasting-feature screens.
+
+    Adjacent (x, lag(x)) pairs come from one window pass ordered by the
+    deterministic (ts_sec, event_id) axis; Pearson over the pairs follows
+    the agg_corr_exact discipline — exact DECIMAL moment sums, one fixed
+    IEEE finishing sequence — so the statistic is bit-reproducible at any
+    parallelism on both engines. One shuffle on event_type (window and
+    aggregation share the partitioning: the sort feeds a partial agg with
+    no re-exchange)."""
+    from pyspark.sql.window import Window
+
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts_sec", "event_id")
+    seq = (
+        ev.select(
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("x"),
+            "ts_sec",
+            "event_id",
+        )
+        .withColumn("y", F.lag("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    m = seq.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("autocorr_lag1"),
+    )

@@ -672,3 +672,99 @@ def etl_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("value_sum"),
         )
     )
+
+
+@query(
+    "etl_dq_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           COUNT(*) AS checked,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS failed,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'customer_nationkey_nonnull',
+           COUNT(*),
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM customer
+    """,
+)
+def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (#78 cont.): the expectation-suite
+    primitive (uniqueness, domain, range, referential integrity, null
+    contract) evaluated in ONE report — what a pipeline runs before
+    publishing a load, failing the batch on any rule with failed > 0.
+
+    Each table contributes one scan with its rules fused as parallel
+    conditional aggregates (never one scan per rule); the FK rule is a
+    left-anti join keyed like every other orders~lineitem join. All rule
+    results are single rows, so the union is driver-free metadata — at
+    100 TB the cost is exactly one pass over each audited table plus one
+    join, and the report shape (rows = #rules) never grows."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    c = tbl(spark, sf_dir, "customer")
+
+    def report(agg: DataFrame, rules: list[tuple[str, str, str]]) -> DataFrame:
+        pairs = ", ".join(f"'{r}', {chk}, {fl}" for r, chk, fl in rules)
+        return agg.selectExpr(
+            f"stack({len(rules)}, {pairs}) AS (rule, checked, failed)"
+        ).select("rule", "checked", "failed", (F.col("failed") == 0).alias("ok"))
+
+    o_agg = o.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("o_orderkey").alias("pk_cnt"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).cast("bigint").alias("bad_status"),
+    )
+    o_rules = report(
+        o_agg,
+        [
+            ("orders_pk_unique", "cnt", "cast(cnt - pk_cnt as bigint)"),
+            ("orders_status_domain", "cnt", "bad_status"),
+        ],
+    )
+    li_agg = li.agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).cast("bigint").alias("bad_qty"),
+    )
+    li_rules = report(li_agg, [("lineitem_qty_range", "cnt", "bad_qty")])
+    fk_agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphans"))
+        .crossJoin(F.broadcast(li.agg(F.count("*").alias("cnt"))))
+    )
+    fk_rules = report(fk_agg, [("lineitem_fk_orders", "cnt", "orphans")])
+    c_agg = c.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("c_nationkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_null"),
+    )
+    c_rules = report(c_agg, [("customer_nationkey_nonnull", "cnt", "bad_null")])
+    return o_rules.unionByName(li_rules).unionByName(fk_rules).unionByName(c_rules)

@@ -798,3 +798,55 @@ def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "event_type", "value", F.percent_rank().over(w).alias("qnorm")
     )
+
+
+@query(
+    "win_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS next_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY {_EV_SEC}, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total FROM tr GROUP BY prev_type)
+    SELECT tr.prev_type, tr.next_type, tr.cnt,
+           CAST(tr.cnt AS DOUBLE) / tot.total AS p_next
+    FROM tr JOIN tot USING (prev_type)
+    """,
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (#35 cont.): P(next_type | prev_type) — the behavioral-model statistic
+    behind next-action prediction and bot detection.
+
+    One window pass per user on the deterministic (ts_sec, event_id) axis
+    pairs each event with its predecessor; the transition counts then
+    reduce to a #types x #types table, so the second aggregation and the
+    probability normalization run on a few dozen rows no matter the corpus
+    size. The probability is one IEEE divide of two exact integers —
+    deterministic on both engines. At 100 TB the only full-data cost is
+    the user_id shuffle+sort, shared with every other per-user sessionization
+    pass (a production pipeline derives them all from one sorted substrate)."""
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = (
+        ev.select("user_id", F.col("event_type").alias("next_type"), "ts_sec", "event_id")
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    tr = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("cnt"))
+    tot = tr.groupBy("prev_type").agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        tr.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("p_next"),
+        )
+    )
