@@ -782,3 +782,41 @@ def etl_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.select(
         "op", "doc_id", "content_hash", F.row_number().over(w).alias("op_seq")
     )
+
+
+@query(
+    "x_sample_weighted_priority",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) / n_chars AS draw_key
+    FROM documents
+    ORDER BY draw_key, doc_id
+    LIMIT 20
+    """,
+)
+def x_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (#79 cont.), sequential-
+    Poisson style (Ohlsson): each doc draws u from a deterministic md5
+    of its id, ranked by u/weight, and the 20 smallest keys win — longer
+    documents (weight = n_chars) are proportionally likelier, the
+    training-mixture primitive for length-weighted corpus draws.
+
+    Everything is RNG-free and transcendental-free: u = (h+1)/2^32 is an
+    exact dyadic rational (h+1 <= 2^32 is exact in a double, the divide
+    by a power of two is lossless), the key is ONE further IEEE divide —
+    bit-identical on both engines, unlike the classic -ln(u)/w
+    exponential-race key whose libm ln costs a ulp haggle. Plan is
+    TakeOrderedAndProject: each partition keeps its local top-20, the
+    driver merges 20*P rows — no global sort at any corpus size; resuming
+    a crashed job regenerates the identical sample."""
+    d = T(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    key = ((h + F.lit(1.0)) / F.lit(4294967296.0)) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("draw_key"))
+        .orderBy("draw_key", "doc_id")
+        .limit(20)
+    )

@@ -960,3 +960,142 @@ def x_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "x_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 4))::BIGINT % 256 AS idx,
+             CASE WHEN ('0x' || substr(md5(term), 5, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sg
+      FROM toks WHERE term <> ''
+    )
+    SELECT doc_id, idx, CAST(SUM(sg) AS BIGINT) AS val
+    FROM hashed GROUP BY doc_id, idx
+    HAVING CAST(SUM(sg) AS BIGINT) <> 0
+    """,
+)
+def x_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (#63 cont.): tokens -> fixed 256-dim
+    sparse vectors with alternating sign (sklearn HashingVectorizer
+    semantics) — the vocabulary-free featurizer that needs no fitted
+    dictionary, so it streams over any corpus size with zero driver state.
+
+    Index = 16 bits of md5 mod 256, sign = a disjoint md5 nibble's parity
+    (decorrelates sign from bucket); signed counts cancel hash collisions
+    in expectation. Output is the sparse COO triple (doc_id, idx, val)
+    with exact-zero cells dropped — the shuffle carries one integer triple
+    per touched cell, never a dense vector. Cross-engine exact: md5 and
+    integer arithmetic only."""
+    d = T(spark, sf_dir, "documents")
+    md5 = F.md5("term")
+    idx = F.conv(F.substring(md5, 1, 4), 16, 10).cast("bigint") % 256
+    sg = F.when(
+        F.conv(F.substring(md5, 5, 1), 16, 10).cast("bigint") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        d.select("doc_id", F.explode(_TOKS()).alias("term"))
+        .filter(F.col("term") != "")
+        .select("doc_id", idx.alias("idx"), sg.alias("sg"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("sg").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+_SPAN = 2  # demo span width; production substring dedup uses ~50 (the
+           # topology below is span-size-invariant)
+
+
+@query(
+    "x_text_dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, p, array_to_string(l[p+1:p+{_SPAN}], ' ') AS gram
+      FROM (SELECT doc_id, l, UNNEST(range(len(l) - {_SPAN - 1})) AS p
+            FROM toks WHERE len(l) >= {_SPAN})
+    ),
+    dups AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p, MIN(p) OVER (PARTITION BY doc_id, gram) AS first_p
+        FROM grams
+      ) WHERE p > first_p
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, UNNEST(range(p, p + {_SPAN})) AS pos FROM dups
+    ),
+    tokpos AS (
+      SELECT doc_id, len(l) AS n_tokens, UNNEST(range(len(l))) AS pos, l
+      FROM toks WHERE len(l) > 0
+    ),
+    kept AS (
+      SELECT t.doc_id, t.n_tokens, t.pos, t.l[t.pos + 1] AS tok
+      FROM tokpos t LEFT JOIN removed r
+        ON t.doc_id = r.doc_id AND t.pos = r.pos
+      WHERE r.pos IS NULL
+    )
+    SELECT doc_id, n_tokens,
+           COUNT(*) AS kept_tokens,
+           n_tokens - COUNT(*) AS removed_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept
+    GROUP BY doc_id, n_tokens
+    """,
+)
+def x_text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal (#60/#65 cont.): every
+    re-occurrence of an already-seen {_SPAN}-gram is excised (keep-first,
+    overlaps merged) and the text reassembled — the intra-doc face of
+    exact-substring training-data dedup (Lee et al. use 50-token spans;
+    the shape here is span-size-invariant).
+
+    All set logic is positional: grams get first-occurrence positions via
+    one window MIN over (doc_id, gram); duplicate occurrences explode to
+    their covered positions; a left-anti join drops them; the surviving
+    tokens reassemble with the order-preserving sorted-struct concat.
+    Every shuffle keys on doc_id(+gram) — within-doc work only, so the
+    operator scales linearly in corpus size with per-doc cost bounded by
+    doc length, and reconstruction is exact (hash-checked text output,
+    not just counts)."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
+    g = (
+        t.filter(F.size("l") >= _SPAN)
+        .select(
+            "doc_id",
+            "l",
+            F.explode(F.sequence(F.lit(0), F.size("l") - _SPAN)).alias("p"),
+        )
+        .select(
+            "doc_id", "p", F.expr(f"concat_ws(' ', slice(l, p + 1, {_SPAN}))").alias("gram")
+        )
+    )
+    w = Window.partitionBy("doc_id", "gram")
+    dups = g.withColumn("first_p", F.min("p").over(w)).filter(F.col("p") > F.col("first_p"))
+    removed = (
+        dups.select("doc_id", F.explode(F.expr(f"sequence(p, p + {_SPAN - 1})")).alias("pos"))
+        .distinct()
+    )
+    tokpos = t.filter(F.size("l") > 0).select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        F.posexplode("l").alias("pos", "tok"),
+    )
+    kept = tokpos.join(removed, ["doc_id", "pos"], "left_anti")
+    return kept.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("kept_tokens"),
+        (F.col("n_tokens") - F.count("*")).alias("removed_tokens"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
+        ).alias("clean_text"),
+    )

@@ -421,3 +421,63 @@ def fn_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(n,) for n, _ in _SOUNDEX_CASES]
     df = spark.createDataFrame(rows, "name: string")
     return df.select("name", F.soundex("name").alias("sx"))
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN ''
+                     ELSE '?ref=' || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR) END AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           NULLIF(regexp_extract(url, '^([a-z]+)://', 1), '') AS protocol,
+           NULLIF(regexp_extract(url, '://([^/?#]+)', 1), '') AS host,
+           NULLIF(regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1), '') AS path,
+           NULLIF(regexp_extract(url, '[?&]ref=([^&#]*)', 1), '') AS ref_param,
+           NULLIF(regexp_extract(regexp_extract(url, '://([^/?#]+)', 1),
+                                 '([^.]+)[.][^.]+[.][^.]+$', 1), '') AS subdomain
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (#43 cont.): protocol/host/path/query-param
+    extraction — the first step of every web-corpus pipeline (domain
+    filtering, per-site rate caps, URL-canonicalized dedup).
+
+    Spark side uses the native parse_url expression (JVM codegen, no
+    regex compilation per row for the structural parts); the oracle
+    spells the same extraction as POSIX regexes, with NULLIF('')
+    reconciling DuckDB's empty-string-on-no-match to parse_url's NULL.
+    One in five synthesized URLs carries no query string, exercising the
+    NULL path. Pure map-side projection: no shuffle at any scale."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?ref="),
+                F.col("lang"),
+                F.lit("&page="),
+                (F.col("doc_id") % 7).cast("string"),
+            )
+        ),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.regexp_extract(
+            F.parse_url("url", F.lit("HOST")), r"([^.]+)[.][^.]+[.][^.]+$", 1
+        ).alias("subdomain"),
+    ).withColumn("subdomain", F.nullif(F.col("subdomain"), F.lit("")))
