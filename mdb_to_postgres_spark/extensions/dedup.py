@@ -843,3 +843,71 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.8)
     )
     return out.select("doc_a", "doc_b", "containment", "jaccard")
+
+
+_URL_RAW_TPL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+      || '://' ||
+      (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+      || '.Example.COM/page/' || CAST(doc_id % 50 AS {STR}) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&utm_campaign=y' ELSE '' END) ||
+      (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+_URL_RAW_SQL = _URL_RAW_TPL.format(STR="VARCHAR")  # DuckDB oracle spelling
+
+
+@query(
+    "x_dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               url, '#.*$', ''), '[?]utm_[^#]*', ''), '/$', ''),
+               '^http://', 'https://')) AS curl
+      FROM raw
+    )
+    SELECT curl, COUNT(*) AS n_variants, MIN(doc_id) AS first_doc
+    FROM canon GROUP BY curl
+    """,
+)
+def x_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalized dedup (#59 cont.): the web-crawl dedup that runs
+    BEFORE any content hashing — scheme upgrade, host case fold,
+    tracking-parameter (utm_*) strip, fragment strip, trailing-slash
+    normalization — then groups page variants under one canonical URL
+    with a keep-first representative.
+
+    The synthesized raw URLs encode five orthogonal noise axes off
+    doc_id so every rule is exercised; canonicalization is a fixed
+    regexp_replace chain (POSIX-simple patterns, identical both engines;
+    this corpus' paths are already lowercase, so the final case fold is
+    host-safe — production folds scheme+host only). Map-side projection
+    + one groupBy on the canonical key: the shuffle carries canonical
+    URLs, and cardinality drops by the variant factor before any
+    downstream content dedup runs."""
+    d = T(spark, sf_dir, "documents")
+    raw = d.selectExpr("doc_id", f"{_URL_RAW_TPL.format(STR='STRING')} AS url")
+    curl = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("url"), r"#.*$", ""),
+                    r"[?]utm_[^#]*",
+                    "",
+                ),
+                r"/$",
+                "",
+            ),
+            r"^http://",
+            "https://",
+        )
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("first_doc"))
+    )

@@ -1,0 +1,139 @@
+"""Model-evaluation operators (SURVEY.md §2.9 cont.) — the metrics a
+training-data pipeline computes over held-out scores: ranking AUC and the
+thresholded confusion-matrix report.
+
+Both are exact-integer formulations: ranks and confusion cells accumulate
+as BIGINTs, every ratio is ONE final IEEE divide of exact integers, so the
+metrics are bit-reproducible at any parallelism on both engines (the
+agg_corr_exact discipline applied to sklearn.metrics).
+
+Score/label come from the embeddings table: score = the vector's second
+component (a fixed, data-derived stand-in for a model logit), truth =
+label parity. No randomness anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import T
+
+
+@query(
+    "x_eval_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT embedding[2] AS score, label % 2 AS y FROM embeddings
+    ),
+    ranked AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score) AS r,
+             COUNT(*) OVER (PARTITION BY score) AS t
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN 2 * r + t - 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg) AS auc
+    FROM agg
+    """,
+)
+def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the Mann-Whitney U rank statistic — the ranking-quality
+    metric for quality-classifier scores in a data pipeline.
+
+    Tie-safe without any float accumulation: with avg-rank = rank +
+    (ties-1)/2, twice the positive rank sum is SUM(2*rank + ties - 1),
+    an exact BIGINT; AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) is
+    one final divide. The global rank is the only total-order step — at
+    scale it runs as a range-partitioned sort (Spark's global Window
+    falls back to a single partition; production replaces it with the
+    two-phase rank: per-range ranks + broadcast range offsets, same
+    numbers)."""
+    e = T(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.element_at("embedding", 2).alias("score"), (F.col("label") % 2).alias("y")
+    )
+    ranked = scored.select(
+        "y",
+        F.rank().over(Window.orderBy("score")).alias("r"),
+        F.count("*").over(Window.partitionBy("score")).alias("t"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, 2 * F.col("r") + F.col("t") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "x_eval_classifier_report",
+    oracle="""
+    WITH scored AS (
+      SELECT embedding[2] > 0 AS pred, label % 2 = 1 AS y FROM embeddings
+    ),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_1,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_1,
+           CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1_1,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+    FROM cm
+    """,
+)
+def x_eval_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded binary-classifier report: confusion matrix +
+    precision/recall/F1/accuracy in one aggregation pass (prediction =
+    score > 0 at a fixed operating point).
+
+    The four cells are parallel conditional counts (map-side partials,
+    four integers per partition on the shuffle); each metric is one
+    divide of exact integers — F1 spelled 2tp/(2tp+fp+fn) so it too is a
+    single IEEE op rather than a float composition of precision and
+    recall. Scales as a single scan at any corpus size."""
+    e = T(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.element_at("embedding", 2) > 0).alias("pred"),
+        (F.col("label") % 2 == 1).alias("y"),
+    )
+    cm = scored.agg(
+        F.sum(F.when(F.col("pred") & F.col("y"), 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("y"), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("y"), 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("y"), 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (tp.cast("double") / (tp + fp)).alias("precision_1"),
+        (tp.cast("double") / (tp + fn)).alias("recall_1"),
+        ((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1_1"),
+        ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+    )

@@ -838,3 +838,59 @@ def agg_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("autocorr_lag1"),
     )
+
+
+@query(
+    "agg_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, o_custkey) AS i FROM counts
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_share,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_per_key,
+           CAST(2 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
+             / (COUNT(*) * SUM(cnt)) AS gini
+    FROM ranked
+    """,
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profile (#72 cont.): the pre-flight
+    diagnostic behind the salted-join and AQE-skew decisions — per-key
+    cardinalities reduced to max share, mean, and an exact Gini
+    concentration index.
+
+    Gini comes from the sorted prefix-sum identity (2*SUM(i*x_i) -
+    (n+1)*SUM(x)) / (n*SUM(x)) with integer accumulators only — the
+    rank's tie order doesn't affect the sum (equal x within a tie block
+    contribute x*SUM(i) regardless of permutation), so the statistic is
+    deterministic cross-engine. Key counts are one two-phase aggregate;
+    the ranked pass runs over keys, not rows (1 row per key, and at scale
+    a range-partitioned sort), so profiling cost is O(distinct keys)
+    after the first map-side combine."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        T(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt", F.row_number().over(Window.orderBy("cnt", "o_custkey")).alias("i")
+    )
+    n = F.count("*")
+    tot = F.sum("cnt")
+    return ranked.agg(
+        n.alias("n_keys"),
+        tot.cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        (F.max("cnt").cast("double") / tot).alias("top_share"),
+        (tot.cast("double") / n).alias("avg_per_key"),
+        (
+            (2 * F.sum(F.col("i") * F.col("cnt")) - (n + 1) * tot).cast("double")
+            / (n * tot)
+        ).alias("gini"),
+    )

@@ -768,3 +768,33 @@ def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_rules = report(c_agg, [("customer_nationkey_nonnull", "cnt", "bad_null")])
     return o_rules.unionByName(li_rules).unionByName(fk_rules).unionByName(c_rules)
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT md5(text) AS line_h, COUNT(*) AS cnt
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-line scan (#7 cont.): spark.read.text — the raw
+    corpus access path (one row per line, a single `value` column) that
+    every web-dump ingestion starts from, completing the source-format
+    matrix (parquet/csv/json/orc/text/binaryFile/jdbc).
+
+    Round-trip: the documents text column is written as plain .txt part
+    files once per sf, read back line-wise, and compared content-wise
+    (md5 per line, grouped) since line order is partition-dependent on
+    both sides of a text file by design. Reading is split-parallel: text
+    files split on line boundaries at maxPartitionBytes, so ingest
+    parallelism tracks corpus bytes exactly as at 100 TB."""
+    d = tbl(spark, sf_dir, "documents")
+    path = _cache_dir(sf_dir, "documents_text")
+    if not _cache_complete(path):
+        d.select("text").write.mode("overwrite").text(path)
+    return (
+        spark.read.text(path)
+        .groupBy(F.md5("value").alias("line_h"))
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -184,6 +184,7 @@ def load_all() -> None:
     from .extensions import udf_surface, multimodal, similarity  # noqa: F401
     from .operators import projection, joins, windows  # noqa: F401
     from .extensions import graph  # noqa: F401  (reuses dedup's jaccard substrate)
+    from .extensions import evaluation  # noqa: F401
 
     ordered = sorted(
         QUERIES.items(),
