@@ -1149,3 +1149,63 @@ def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 10)
     )
+
+
+@query(
+    "x_embedding_quantize_int8",
+    oracle="""
+    WITH mx AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, max_abs,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS BIGINT)) AS qv
+      FROM mx WHERE max_abs > 0
+    )
+    SELECT vec_id, max_abs,
+           len(qv) AS n_dims,
+           list_reduce(qv, (a, b) -> a + b) AS q_sum,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max
+    FROM q
+    """,
+)
+def x_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (#62 cont.): per-vector symmetric max-abs
+    scaling to the [-127, 127] grid — the 4x memory/bandwidth compression
+    every large-scale vector-serving layer applies before ANN, upstream
+    of the IVF-PQ codebook path.
+
+    Cross-engine exact with zero float accumulation: max_abs is an exact
+    float MAX (no summation order), the scale is one IEEE divide, each
+    cell is multiply + add-half + floor (identical ops both engines), and
+    the reported aggregates are integer folds. Pure map-side projection —
+    quantization adds no shuffle at any corpus size; the summary columns
+    (q_sum/q_min/q_max) are the dequantization-audit statistics."""
+    e = T(spark, sf_dir, "embeddings")
+    mx = e.select(
+        "vec_id",
+        "embedding",
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").alias(
+            "max_abs"
+        ),
+    ).filter(F.col("max_abs") > 0)
+    q = mx.select(
+        "vec_id",
+        "max_abs",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / max_abs) + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "max_abs",
+        F.size("qv").cast("bigint").alias("n_dims"),
+        F.expr("aggregate(qv, 0L, (a, b) -> a + b)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

@@ -1099,3 +1099,59 @@ def x_text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
         ).alias("clean_text"),
     )
+
+
+@query(
+    "x_text_bpe_merge_candidates",
+    oracle="""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS tf FROM (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+      ) WHERE term <> '' GROUP BY term
+    ),
+    pairs AS (
+      SELECT substr(term, i, 2) AS pair, tf
+      FROM (SELECT term, tf, UNNEST(range(1, length(term))) AS i FROM tf
+            WHERE length(term) >= 2)
+    )
+    SELECT pair, CAST(SUM(tf) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+)
+def x_text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive (#63 cont.): the first BPE iteration —
+    corpus-weighted adjacent-symbol-pair frequencies, whose argmax is the
+    first merge rule. Full BPE training is this exact pass iterated with
+    a growing symbol alphabet; the per-iteration dataflow (pair counts
+    over a word-frequency table, not over raw text) is what makes
+    tokenizer training feasible at corpus scale — the heavy explode runs
+    over DISTINCT words, each weighted by its frequency.
+
+    Word frequencies reduce the corpus first (vocab rows, not token
+    rows); the pair explode is bounded by vocab x word length; top-20
+    lands as TakeOrderedAndProject with the (freq DESC, pair) tie-break
+    shared by both engines."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_TOKS()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    pairs = (
+        tf.filter(F.length("term") >= 2)
+        .select(
+            "tf",
+            F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+            "term",
+        )
+        .select(F.expr("substring(term, i, 2)").alias("pair"), "tf")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )
