@@ -654,36 +654,37 @@ _JS_D = 4  # sketch rows
 _JS_W = 512  # buckets per row
 
 
-def _js_bucket(d: int, key_expr: str, duck: bool) -> str:
+# All 4 sketch rows derive from ONE md5 per input row (was 8: separate
+# bucket+sign digests per d — the hash dominated the pass at bench sf).
+# The 128 hex bits split disjointly: chars 1+4d..4+4d (16 bits) -> bucket
+# (65536 % 512 == 0, so the mod is bias-free), char 17+d -> sign parity.
+def _js_hx(key_expr: str, duck: bool) -> str:
     if duck:
-        return (
-            f"(('0x' || substr(md5('js{d}:' || CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT"
-            f" % {_JS_W})"
-        )
-    return (
-        f"(cast(conv(substring(md5(concat('js{d}:', cast({key_expr} as string))), 1, 15),"
-        f" 16, 10) as bigint) % {_JS_W})"
-    )
+        return f"md5('js:' || CAST({key_expr} AS VARCHAR))"
+    return f"md5(concat('js:', cast({key_expr} as string)))"
 
 
-def _js_sign(d: int, key_expr: str, duck: bool) -> str:
-    """+1/-1 from an independent md5 bit — the AGMS sign hash."""
+def _js_bucket(d: int, duck: bool) -> str:
     if duck:
-        h = f"(('0x' || substr(md5('jss{d}:' || CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT"
+        return f"(('0x' || substr(hx, {1 + 4 * d}, 4))::BIGINT % {_JS_W})"
+    return f"(cast(conv(substring(hx, {1 + 4 * d}, 4), 16, 10) as bigint) % {_JS_W})"
+
+
+def _js_sign(d: int, duck: bool) -> str:
+    """+1/-1 from an md5 nibble disjoint from every bucket field."""
+    if duck:
+        h = f"(('0x' || substr(hx, {17 + d}, 1))::BIGINT"
     else:
-        h = (
-            f"(cast(conv(substring(md5(concat('jss{d}:', cast({key_expr} as string))), 1, 15),"
-            f" 16, 10) as bigint)"
-        )
+        h = f"(cast(conv(substring(hx, {17 + d}, 1), 16, 10) as bigint)"
     return f"(CASE WHEN {h} % 2) = 0 THEN 1 ELSE -1 END)"
 
 
 def _join_size_oracle() -> str:
     def agms(table: str, key: str) -> str:
         return " UNION ALL ".join(
-            f"SELECT {d} AS d, {_js_bucket(d, key, True)} AS b,"
-            f" CAST(SUM({_js_sign(d, key, True)}) AS BIGINT) AS s"
-            f" FROM {table} GROUP BY 2"
+            f"SELECT {d} AS d, {_js_bucket(d, True)} AS b,"
+            f" CAST(SUM({_js_sign(d, True)}) AS BIGINT) AS s"
+            f" FROM (SELECT {_js_hx(key, True)} AS hx FROM {table}) GROUP BY 2"
             for d in range(_JS_D)
         )
 
@@ -725,11 +726,12 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def agms(df: DataFrame, key: str) -> DataFrame:
         pairs = ", ".join(
-            f"struct({_js_bucket(d, key, False)} AS b, {_js_sign(d, key, False)} AS sg)"
+            f"struct({_js_bucket(d, False)} AS b, {_js_sign(d, False)} AS sg)"
             for d in range(_JS_D)
         )
         return (
-            df.select(F.posexplode(F.expr(f"array({pairs})")).alias("d", "x"))
+            df.selectExpr(f"{_js_hx(key, False)} AS hx")
+            .select(F.posexplode(F.expr(f"array({pairs})")).alias("d", "x"))
             .select("d", "x.b", "x.sg")
             .groupBy("d", "b")
             .agg(F.sum("sg").cast("bigint").alias("s"))
