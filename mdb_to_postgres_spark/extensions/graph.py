@@ -156,3 +156,44 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.join(e2, "doc_y").join(e3, ["doc_x", "doc_z"]).select(
         "doc_x", "doc_y", "doc_z"
     )
+
+
+@query(
+    "x_graph_degree_distribution",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_nodes,
+           CAST(SUM(degree) AS BIGINT) AS edge_endpoints
+    FROM deg GROUP BY degree
+    """,
+)
+def x_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph (#75 cont.): the
+    histogram that sizes every downstream graph pass — a heavy tail here
+    is what turns connected-components or PageRank into a skew problem
+    (one hub's edges land on one reducer), so pipelines read this before
+    choosing salting.
+
+    Endpoints are counted by unioning both edge directions (each
+    undirected edge contributes one endpoint to each side) — a
+    map-side-combinable count per node, then a second tiny aggregate over
+    the degree values. Reuses the cached similarity-pair substrate; costs
+    two thin shuffles (doc_id, then degree) regardless of corpus size."""
+    pairs = _sim_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").cast("bigint").alias("edge_endpoints"),
+    )

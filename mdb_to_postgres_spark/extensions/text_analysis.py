@@ -1155,3 +1155,48 @@ def x_text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "x_text_stopword_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+             list_filter(string_split(lower(text), ' '),
+                         t -> t <> '' AND t NOT IN ({', '.join(f"'{w}'" for w in _STOPWORDS)})) AS kept
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           len(kept) AS kept_tokens,
+           n_tokens - len(kept) AS removed_tokens,
+           array_to_string(kept, ' ') AS clean_text
+    FROM toks
+    """,
+)
+def x_text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-removal transform (#65 cont.): the content-rewriting
+    counterpart of x_text_quality's stopword RATIO — emits the filtered
+    text itself (order-preserving) plus removal counts, the
+    normalization step before bag-of-words indexing or n-gram LM
+    training.
+
+    Pure higher-order array functions (filter + array_join) inside
+    whole-stage codegen: no explode, no shuffle, no Python — the
+    transform is map-side at any corpus size and the output text is
+    hash-checked, not just counted."""
+    d = T(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    t = d.select(
+        "doc_id",
+        F.size(_TOKS()).cast("long").alias("n_tokens"),
+        F.expr(
+            f"filter(split(lower(text), ' '), t -> t != '' AND t NOT IN ({stop}))"
+        ).alias("kept"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.size("kept")).alias("removed_tokens"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )

@@ -896,3 +896,35 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * tot)
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_bool_logic",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_large,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-logic aggregate family (#25 cont.): bool_and / bool_or /
+    count_if — the assertion aggregates behind data contracts and
+    EXISTS-style rollups, spelled identically on both engines.
+
+    All three are trivially partial-aggregable (AND/OR/SUM merges), so
+    the shuffle carries one boolean/long per group per partition at any
+    scale — the cheapest aggregate shapes Spark has."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_totalprice") > 150000).cast("bigint").alias("n_large"),
+            F.count("*").alias("cnt"),
+        )
+    )
