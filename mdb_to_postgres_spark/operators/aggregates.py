@@ -928,3 +928,81 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_sampled_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT l_quantity
+      FROM lineitem
+      WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+    ),
+    samp AS (
+      SELECT COUNT(*) AS s_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty
+      FROM s
+    ),
+    fullt AS (
+      SELECT COUNT(*) AS exact_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS exact_qty
+      FROM lineitem
+    )
+    SELECT s_rows,
+           CAST(s_rows * 256.0 / 26.0 AS DOUBLE) AS est_rows,
+           exact_rows,
+           CAST(s_qty * 256.0 / 26.0 AS DOUBLE) AS est_qty,
+           exact_qty,
+           ABS(s_rows * 256.0 / 26.0 - exact_rows) / exact_rows AS rel_err_rows
+    FROM samp, fullt
+    """,
+)
+def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sample aggregate estimation (#28 cont.): a ~10%
+    md5-band sample (26/256 of the hash space on the row key) scaled by
+    the exact inverse inclusion probability, reported against the exact
+    aggregate with its realized relative error — the
+    approximate-query-processing primitive for interactive exploration
+    over 100 TB, where the sample is a materialized 10% table and every
+    profile query runs on it first.
+
+    The hash-band sample is reproducible (no RNG, no sample() seed
+    drift across retries/partitions) and composable: the same band
+    always selects the same rows, so joins between sampled tables stay
+    consistent (the join-synopsis property random per-table samples
+    lack). Estimator arithmetic is exact-decimal sums with fixed-order
+    IEEE finishing ops."""
+    li = T(spark, sf_dir, "lineitem")
+    in_sample = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "1a"
+    )
+    samp = li.filter(in_sample).agg(
+        F.count("*").alias("s_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s_qty"),
+    )
+    fullt = li.agg(
+        F.count("*").alias("exact_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("exact_qty"),
+    )
+    return samp.crossJoin(F.broadcast(fullt)).select(
+        "s_rows",
+        (F.col("s_rows") * 256.0 / 26.0).alias("est_rows"),
+        "exact_rows",
+        (F.col("s_qty") * 256.0 / 26.0).alias("est_qty"),
+        "exact_qty",
+        (
+            F.abs(F.col("s_rows") * 256.0 / 26.0 - F.col("exact_rows"))
+            / F.col("exact_rows")
+        ).alias("rel_err_rows"),
+    )

@@ -798,3 +798,88 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5("value").alias("line_h"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "etl_incremental_agg_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
+      GROUP BY l_returnflag
+    ),
+    delta AS (
+      SELECT l_returnflag, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+      GROUP BY l_returnflag
+    ),
+    maintained AS (
+      SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             CAST(SUM(qty) AS DOUBLE) AS qty
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY l_returnflag
+    ),
+    full_recompute AS (
+      SELECT l_returnflag, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag,
+           m.cnt AS maintained_cnt, f.cnt AS full_cnt,
+           m.qty AS maintained_qty, f.qty AS full_qty,
+           m.qty / m.cnt AS maintained_avg,
+           m.cnt = f.cnt AND m.qty = f.qty AS matches
+    FROM maintained m JOIN full_recompute f USING (l_returnflag)
+    """,
+)
+def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (#78 cont.): a
+    grouped summary kept current by MERGING the arriving batch's partial
+    aggregates into the stored ones (SUM-of-SUMs, SUM-of-COUNTs; AVG
+    derived at read time) instead of re-scanning history — the pattern
+    that makes a 100 TB daily rollup cost O(delta), with the full
+    recompute run alongside and an equality column PROVING the merge is
+    lossless (exact DECIMAL partials: float partials would drift here).
+
+    Algebraic aggregates (sum/count/min/max) maintain this way;
+    non-algebraic ones (exact distinct, median) need their mergeable
+    sketch counterparts (HLL, KLL — see agg_approx_distinct and the CMS
+    heavy-hitters) — that is exactly why sketches exist at scale. In
+    production base/delta are partitions of the same table, so the
+    'merge' reads yesterday's tiny summary + today's partition, never
+    history."""
+    li = tbl(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("date")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+
+    def partial(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("cnt"), F.sum(dec).alias("qty")
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cut))
+    delta = partial(li.filter(F.col("l_shipdate") >= cut))
+    maintained = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("m_cnt"),
+            F.sum("qty").cast("double").alias("m_qty"),
+        )
+    )
+    full = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("f_cnt"), F.sum(dec).cast("double").alias("f_qty")
+    )
+    return maintained.join(full, "l_returnflag").select(
+        "l_returnflag",
+        F.col("m_cnt").alias("maintained_cnt"),
+        F.col("f_cnt").alias("full_cnt"),
+        F.col("m_qty").alias("maintained_qty"),
+        F.col("f_qty").alias("full_qty"),
+        (F.col("m_qty") / F.col("m_cnt")).alias("maintained_avg"),
+        ((F.col("m_cnt") == F.col("f_cnt")) & (F.col("m_qty") == F.col("f_qty"))).alias(
+            "matches"
+        ),
+    )

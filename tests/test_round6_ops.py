@@ -206,3 +206,29 @@ def test_scan_text_roundtrip_covers_corpus(spark):
     out = QUERIES["scan_text"](spark, ORACLE_SF).toPandas()
     docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet").count()
     assert out.cnt.sum() == docs
+
+
+def test_prefix_filter_equals_full_inverted_index(spark):
+    """Prefix filtering guarantees recall 1 at its threshold: the output
+    must be IDENTICAL to the full-inverted-index x_dedup_near_jaccard."""
+    full = QUERIES["x_dedup_near_jaccard"](spark, ORACLE_SF).toPandas()
+    pref = QUERIES["x_dedup_prefix_filter_join"](spark, ORACLE_SF).toPandas()
+    key = ["doc_a", "doc_b"]
+    full = full.sort_values(key).reset_index(drop=True)
+    pref = pref.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, pref)
+
+
+def test_sampled_estimate_within_band(spark):
+    r = QUERIES["agg_sampled_estimate"](spark, ORACLE_SF).toPandas().iloc[0]
+    # a ~10% uniform hash band over 60k rows: relative error well under 10%
+    assert r.rel_err_rows < 0.10
+    assert 0 < r.s_rows < r.exact_rows
+    assert abs(r.est_qty / r.exact_qty - 1) < 0.10
+
+
+def test_incremental_agg_maintenance_lossless(spark):
+    out = QUERIES["etl_incremental_agg_maintenance"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert out.matches.all()
+    assert (out.maintained_cnt == out.full_cnt).all()
