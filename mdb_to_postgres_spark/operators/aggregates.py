@@ -1006,3 +1006,89 @@ def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_rows")
         ).alias("rel_err_rows"),
     )
+
+
+_KMV_K = 64
+# 13 hex chars = 52 bits: the hash fits a double EXACTLY (<= 2^53), so the
+# (0,1) normalization u = h / 2^52 is a lossless dyadic rational on both
+# engines — 15 hex chars would silently round above 2^53.
+_KMV_DEN = float(1 << 52)
+
+
+def _kmv_oracle() -> str:
+    return f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM events
+      UNION
+      SELECT DISTINCT 'ALL' AS event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM hashes
+    ),
+    sk AS (
+      SELECT event_type, n_distinct, MAX(h) AS h_k, COUNT(*) AS k_eff
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY event_type, n_distinct
+    )
+    SELECT event_type, CAST(n_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN n_distinct < {_KMV_K} THEN CAST(n_distinct AS DOUBLE)
+                ELSE ({_KMV_K} - 1) / (h_k / {_KMV_DEN!r}) END AS est_distinct
+    FROM sk
+    """
+
+
+@query("agg_kmv_distinct_sketch", oracle=_kmv_oracle())
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (#28 cont.), k=64:
+    keep each group's k smallest hash values; the k-th smallest, as a
+    fraction u of the hash space, estimates cardinality as (k-1)/u —
+    the order-statistics sketch whose set algebra HLL lacks: two KMV
+    sketches UNION by merge-and-retruncate, and their Jaccard (shared
+    values in the merged sketch) estimates INTERSECTION cardinality,
+    which is why distributed-distinct frameworks keep both. The 'ALL'
+    row here IS the merged union sketch of the per-type rows.
+
+    Fully deterministic cross-engine, unlike HLL implementations: md5
+    hashes truncated to 52 bits normalize as exact dyadic rationals
+    (one divide per estimate). The per-group k-smallest runs as a
+    rank-window over distinct hashes; at scale it's the classic
+    partial-aggregable top-k (each partition keeps its local k minima,
+    merge keeps the global k — 64 BIGINTs per group on the shuffle)."""
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    per_type = ev.select("event_type", h.alias("h")).distinct()
+    merged = ev.select(F.lit("ALL").alias("event_type"), h.alias("h")).distinct()
+    hashes = per_type.unionByName(merged)
+    w = Window.partitionBy("event_type")
+    ranked = hashes.select(
+        "event_type",
+        "h",
+        F.row_number().over(w.orderBy("h")).alias("rn"),
+        F.count("*").over(w).alias("n_distinct"),
+    )
+    sk = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type", "n_distinct")
+        .agg(F.max("h").alias("h_k"))
+    )
+    est = F.when(
+        F.col("n_distinct") < _KMV_K, F.col("n_distinct").cast("double")
+    ).otherwise((_KMV_K - 1) / (F.col("h_k") / F.lit(_KMV_DEN)))
+    return sk.select(
+        "event_type",
+        F.col("n_distinct").cast("bigint").alias("exact_distinct"),
+        est.alias("est_distinct"),
+    )

@@ -850,3 +850,46 @@ def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("total")).alias("p_next"),
         )
     )
+
+
+@query(
+    "win_event_paths_top",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS t0,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {_EV_SEC}, event_id)
+    ),
+    paths AS (
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS cnt
+      FROM seq WHERE t2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, cnt FROM paths ORDER BY cnt DESC, path LIMIT 15
+    """,
+)
+def win_event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths of length 3 (#35 cont.): the path-mining /
+    clickstream-analysis statistic one order above win_markov_transitions
+    — every user's consecutive (t, t+1, t+2) event-type triple, counted
+    corpus-wide, top-15.
+
+    One per-user window pass produces both LEADs from a single sort (the
+    two LEAD frames share the WINDOW clause, and Spark computes them in
+    one WindowExec); the path space is |types|^3 at most, so the count
+    aggregation and the final TakeOrderedAndProject run on at-most-125
+    rows regardless of corpus size. Ties broken by path text on both
+    engines."""
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "t0", "t1", "t2").alias("path")
+    ).agg(F.count("*").alias("cnt"))
+    return paths.orderBy(F.desc("cnt"), F.asc("path")).limit(15)
