@@ -820,3 +820,80 @@ def x_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("draw_key", "doc_id")
         .limit(20)
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "x_privacy_k_anonymity",
+    oracle=f"""
+    WITH full_qi AS (
+      SELECT COUNT(*) AS csize FROM customer
+      GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 2000)
+    ),
+    gen_qi AS (
+      SELECT COUNT(*) AS csize FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    ),
+    score AS (
+      SELECT 'nation+segment+balance_bucket' AS qi_set,
+             COUNT(*) AS n_classes,
+             CAST(MIN(csize) AS BIGINT) AS k_anonymity,
+             CAST(SUM(CASE WHEN csize < {_K_ANON} THEN csize ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             CAST(SUM(csize) AS BIGINT) AS n_rows
+      FROM full_qi
+      UNION ALL
+      SELECT 'nation+segment',
+             COUNT(*), CAST(MIN(csize) AS BIGINT),
+             CAST(SUM(CASE WHEN csize < {_K_ANON} THEN csize ELSE 0 END) AS BIGINT),
+             CAST(SUM(csize) AS BIGINT)
+      FROM gen_qi
+    )
+    SELECT qi_set, n_classes, k_anonymity, rows_at_risk, n_rows,
+           CAST(rows_at_risk AS DOUBLE) / n_rows AS risk_share,
+           k_anonymity >= {_K_ANON} AS releasable
+    FROM score
+    """,
+)
+def x_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (#96 cont., k={_K_ANON}): equivalence-class sizes
+    over a quasi-identifier set, reporting the dataset's k (the smallest
+    class), how many rows sit in classes below k (re-identifiable under
+    linkage), and whether the release gate passes — evaluated for the
+    raw QI set AND a generalization step (dropping the balance bucket),
+    demonstrating the generalize-until-k-holds loop that anonymization
+    pipelines run before data leaves the boundary (the audit
+    counterpart of etl_pseudonymize_keys and x_text_redact_pii).
+
+    Each QI set costs one two-phase groupBy whose shuffle carries class
+    keys + counts, then a few-row summary aggregate; classes, not rows,
+    ride the second pass, so the audit is as cheap as any profiling
+    scan at 100 TB."""
+    c = T(spark, sf_dir, "customer")
+
+    def classes(cols: list, label: str) -> DataFrame:
+        cs = c.groupBy(*cols).agg(F.count("*").alias("csize"))
+        return cs.agg(
+            F.count("*").alias("n_classes"),
+            F.min("csize").cast("bigint").alias("k_anonymity"),
+            F.sum(F.when(F.col("csize") < _K_ANON, F.col("csize")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.sum("csize").cast("bigint").alias("n_rows"),
+        ).select(F.lit(label).alias("qi_set"), "n_classes", "k_anonymity", "rows_at_risk", "n_rows")
+
+    bal_bucket = F.floor(F.col("c_acctbal") / 2000)
+    full_qi = classes(["c_nationkey", "c_mktsegment", bal_bucket.alias("bb")],
+                      "nation+segment+balance_bucket")
+    gen_qi = classes(["c_nationkey", "c_mktsegment"], "nation+segment")
+    out = full_qi.unionByName(gen_qi)
+    return out.select(
+        "qi_set",
+        "n_classes",
+        "k_anonymity",
+        "rows_at_risk",
+        "n_rows",
+        (F.col("rows_at_risk").cast("double") / F.col("n_rows")).alias("risk_share"),
+        (F.col("k_anonymity") >= _K_ANON).alias("releasable"),
+    )

@@ -592,3 +592,71 @@ def join_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a double quotient rounds and floor() would mis-split the pack
         F.expr("pk div 1048576").alias("d2"),
     )
+
+
+@query(
+    "x_rec_item_cooccurrence",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS cnt_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.cnt_ab,
+           CAST(p.cnt_ab * n.n_orders AS DOUBLE) / (fa.cnt * fb.cnt) AS lift
+    FROM pairs p
+    JOIN freq fa ON p.part_a = fa.l_partkey
+    JOIN freq fb ON p.part_b = fb.l_partkey
+    CROSS JOIN n
+    WHERE p.cnt_ab >= 2
+    """,
+)
+def x_rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item co-occurrence with lift (#24 cont.): parts
+    bought together in one order, scored by lift = P(ab)/(P(a)P(b)) —
+    the association-rule / item-item collaborative-filtering primitive
+    ('customers who bought X also bought Y').
+
+    The pair join is blocked by basket: candidates are generated within
+    an order only (~4 items here -> ~6 pairs per basket), so pair count
+    grows linearly in orders, never |items|^2 — the same
+    bounded-blocking discipline as the dedup tier, with the basket as
+    the natural block. Lift finishes as one divide of exact integers
+    (cnt_ab * n_orders exact BIGINT, frequencies exact); the min-support
+    filter (cnt_ab >= 2) is what production pushes INTO the pair
+    aggregation at 100 TB to keep the long tail off the shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            (
+                (F.col("cnt_ab") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )
