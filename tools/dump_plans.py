@@ -21,6 +21,9 @@ REPR = [
     ("agg_histogram_bins", "two-phase agg: bin partials merge map-side"),
     ("win_attribution_last_touch", "union + running last_value, one user shuffle"),
     ("scan_partition_pruned", "PartitionFilters prune directories at planning time"),
+    ("join_geo_grid_nearest", "grid-blocked spatial NN: 9x broadcast cells + packed-min argmin"),
+    ("x_dedup_prefix_filter_join", "PPJoin prefix filter: df-ranked prefixes bound candidates"),
+    ("agg_kmv_distinct_sketch", "KMV order-statistics sketch: per-group k-minima"),
 ]
 
 
