@@ -137,3 +137,76 @@ def x_eval_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1_1"),
         ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
     )
+
+
+# NDCG discount table, 1e6-scaled integers: round(1e6 / log2(rank+1)).
+# Literal constants shared by both engines, so the gain sum is an exact
+# BIGINT dot product — no transcendental, no float-summation order.
+_NDCG_DISC = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+
+
+@query(
+    "x_eval_ndcg",
+    oracle="""
+    WITH ranked AS (
+      SELECT label % 4 AS rel,
+             ROW_NUMBER() OVER (ORDER BY embedding[3] DESC, vec_id) AS rnk
+      FROM embeddings
+    ),
+    ideal AS (
+      SELECT label % 4 AS rel,
+             ROW_NUMBER() OVER (ORDER BY label % 4 DESC, vec_id) AS rnk
+      FROM embeddings
+    ),
+    dcg AS (
+      SELECT CAST(SUM(rel * ([1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065])[rnk]) AS BIGINT) AS dcg_scaled
+      FROM ranked WHERE rnk <= 10
+    ),
+    idcg AS (
+      SELECT CAST(SUM(rel * ([1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065])[rnk]) AS BIGINT) AS idcg_scaled
+      FROM ideal WHERE rnk <= 10
+    )
+    SELECT dcg_scaled, idcg_scaled,
+           CAST(dcg_scaled AS DOUBLE) / idcg_scaled AS ndcg_at_10
+    FROM dcg, idcg
+    """,
+)
+def x_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 (#62 cont.): the graded ranking metric for the retrieval
+    tier — documents ranked by a score column, gains discounted by
+    1/log2(rank+1), normalized by the ideal ordering.
+
+    The discount table is baked as 1e6-scaled INTEGER literals shared by
+    both engines, so DCG is an exact BIGINT dot product (sum order free)
+    and NDCG is one final divide — the transcendental never executes at
+    query time. The only full-data steps are two global top-10 ranks
+    (range-partitioned sorts at scale; everything after runs on 10
+    rows). Relevance = label %% 4 (graded), score = the third embedding
+    component, ties broken by vec_id on both engines."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    ranked = e.select(
+        (F.col("label") % 4).alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.element_at("embedding", 3)), F.asc("vec_id")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    ideal = e.select(
+        (F.col("label") % 4).alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.col("label") % 4), F.asc("vec_id")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    dcg = ranked.agg(
+        F.sum(F.col("rel") * F.element_at(disc, F.col("rnk"))).cast("bigint").alias("dcg_scaled")
+    )
+    idcg = ideal.agg(
+        F.sum(F.col("rel") * F.element_at(disc, F.col("rnk"))).cast("bigint").alias("idcg_scaled")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg_scaled",
+        "idcg_scaled",
+        (F.col("dcg_scaled").cast("double") / F.col("idcg_scaled")).alias("ndcg_at_10"),
+    )

@@ -1200,3 +1200,102 @@ def x_text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - F.size("kept")).alias("removed_tokens"),
         F.array_join("kept", " ").alias("clean_text"),
     )
+
+
+_NGRAM_LANGS = ("de", "en", "es", "fr", "zh")
+_NGRAM_TOP = 20
+
+
+@query(
+    "x_text_langid_ngram",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(t, i, 3) AS g
+      FROM (SELECT doc_id, lang, lower(text) AS t,
+                   UNNEST(range(1, length(text) - 1)) AS i
+            FROM documents WHERE length(text) >= 3)
+    ),
+    profile AS (
+      SELECT lang AS p_lang, g FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rnk
+        FROM grams GROUP BY lang, g
+      ) WHERE rnk <= {_NGRAM_TOP}
+    ),
+    scores AS (
+      SELECT gr.doc_id, gr.lang,
+             {', '.join(f"CAST(count_if(p.p_lang = '{l}') AS BIGINT) AS s_{l}" for l in _NGRAM_LANGS)}
+      FROM grams gr JOIN profile p ON gr.g = p.g
+      GROUP BY gr.doc_id, gr.lang
+    )
+    SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM scores
+    """,
+)
+def x_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language-ID (#65 cont.) — the profile-based
+    heuristic (Cavnar-Trenkle) behind fastText-style langid, beside the
+    lexicon-marker variant (x_text_langid): per-language profiles = the
+    top-20 character trigrams of each language's subcorpus; a document's
+    score per language = how many of its trigram OCCURRENCES hit that
+    profile; argmax with a fixed precedence tie order.
+
+    Two-pass shape a production pipeline mirrors exactly: pass 1 trains
+    the profiles (per-lang trigram counts -> per-lang top-k, a few
+    hundred rows) and is amortized over the corpus snapshot; pass 2
+    scores with the profile table broadcast against the trigram stream —
+    map-side join + one groupBy(doc), no shuffle of text bytes. The
+    trigram explode is bounded by corpus characters; profiles here are
+    trained on the same corpus being scored (deterministic, no external
+    model file)."""
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))")
+        ).alias("g"),
+    )
+    from pyspark.sql.window import Window
+
+    prof = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("rnk") <= _NGRAM_TOP)
+        .select(F.col("lang").alias("p_lang"), "g")
+    )
+    scores = (
+        grams.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.count_if(F.col("p_lang") == l).cast("bigint").alias(f"s_{l}")
+                for l in _NGRAM_LANGS
+            ]
+        )
+    )
+    s = {l: F.col(f"s_{l}") for l in _NGRAM_LANGS}
+    pred = (
+        F.when(
+            (s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scores.withColumn("pred_lang", pred)

@@ -893,3 +893,59 @@ def win_event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "t0", "t1", "t2").alias("path")
     ).agg(F.count("*").alias("cnt"))
     return paths.orderBy(F.desc("cnt"), F.asc("path")).limit(15)
+
+
+@query(
+    "win_twap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             LEAD({_EV_SEC}) OVER (PARTITION BY user_id ORDER BY {_EV_SEC}, event_id)
+               - {_EV_SEC} AS dt
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(dt) AS BIGINT) AS span_sec,
+             SUM(v * dt) AS wsum
+      FROM seq WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, span_sec,
+           CAST(wsum AS DOUBLE) / span_sec AS twap
+    FROM agg
+    """,
+)
+def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (#36 cont.) — the TWAP/
+    sensor-mean semantics where each observation holds until the next
+    one, so irregular sampling doesn't bias the mean toward bursts
+    (the arithmetic mean over-weights rapid-fire events; the
+    time-weighted one is what monitoring and finance actually report).
+
+    Each value's weight is the exact integer seconds to the user's next
+    event (one LEAD over the shared per-user sort); weighted sums
+    accumulate as exact DECIMAL * BIGINT products, and the final TWAP is
+    one IEEE divide — bit-reproducible at any parallelism. Zero-length
+    intervals (same-second events) drop out on both engines. One
+    user_id shuffle, shared with every other per-user pass."""
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.lead("ts_sec").over(w) - F.col("ts_sec")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    agg = seq.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt").cast("bigint").alias("span_sec"),
+        F.sum(F.col("v") * F.col("dt")).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        "span_sec",
+        (F.col("wsum").cast("double") / F.col("span_sec")).alias("twap"),
+    )

@@ -582,3 +582,48 @@ def stream_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("conv_b").cast("double") / F.col("users_b")).alias("rate_b"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "stream_windowed_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT ({_EV_SEC} // 3600) * 3600 AS window_start, event_type,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT window_start, event_type, cnt, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-3 trending event types (#52 cont.) — the live-dashboard
+    'what's hot right now' query: tumbling window counts, ranked within
+    each window with a deterministic tie-break.
+
+    Under Structured Streaming the count stage is the incremental
+    windowed aggregation (state = one count per (window, type)); the
+    rank-and-cut runs per closed window over at most |types| rows, so
+    the top-k itself costs nothing at any event rate — state size is
+    bounded by windows x types, never by events."""
+    e = _events(spark, sf_dir)
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "event_type", "cnt")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("event_type"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 3)
