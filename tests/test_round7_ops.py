@@ -1,0 +1,94 @@
+"""Invariant tests for the round-7 operators: KMV sketch, event paths,
+co-occurrence lift, k-anonymity, TWAP, windowed top-k, NDCG, n-gram
+language-ID, CLI-adjacent incremental maintenance."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mdb_to_postgres_spark.registry import QUERIES, load_all
+from tests.conftest import ORACLE_SF
+
+load_all()
+
+
+def test_kmv_estimate_within_band(spark):
+    out = QUERIES["agg_kmv_distinct_sketch"](spark, ORACLE_SF).toPandas()
+    assert "ALL" in set(out.event_type)
+    # k=64 -> relative std ~1/sqrt(64) = 12.5%; 40% is a 3-sigma-plus band
+    for r in out.itertuples():
+        assert abs(r.est_distinct / r.exact_distinct - 1) < 0.40, r.event_type
+    # the merged union sketch can never estimate below any per-type exact
+    alls = out[out.event_type == "ALL"].iloc[0]
+    assert alls.exact_distinct == out.exact_distinct.max()
+
+
+def test_event_paths_ordered_and_bounded(spark):
+    out = QUERIES["win_event_paths_top"](spark, ORACLE_SF).toPandas()
+    assert 0 < len(out) <= 15
+    assert out.cnt.is_monotonic_decreasing or (
+        sorted(out.cnt, reverse=True) == list(out.cnt)
+    )
+    assert out.path.str.count(">").eq(2).all()
+
+
+def test_cooccurrence_lift_positive_and_canonical(spark):
+    out = QUERIES["x_rec_item_cooccurrence"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert (out.part_a < out.part_b).all()
+    assert (out.cnt_ab >= 2).all()
+    assert (out.lift > 0).all()
+
+
+def test_k_anonymity_generalization_monotone(spark):
+    out = QUERIES["x_privacy_k_anonymity"](spark, ORACLE_SF).toPandas()
+    raw = out[out.qi_set == "nation+segment+balance_bucket"].iloc[0]
+    gen = out[out.qi_set == "nation+segment"].iloc[0]
+    # generalizing (dropping a QI column) can only coarsen classes
+    assert gen.k_anonymity >= raw.k_anonymity
+    assert gen.n_classes <= raw.n_classes
+    assert gen.rows_at_risk <= raw.rows_at_risk
+    assert raw.n_rows == gen.n_rows
+
+
+def test_twap_bounded_by_value_range(spark):
+    out = QUERIES["win_twap"](spark, ORACLE_SF).toPandas()
+    ev = pd.read_parquet(f"{ORACLE_SF}/events.parquet")
+    lo, hi = ev.value.min(), ev.value.max()
+    assert len(out) > 0
+    # a weighted mean of values stays inside the global value envelope
+    assert (out.twap >= lo - 0.01).all() and (out.twap <= hi + 0.01).all()
+    assert (out.span_sec > 0).all()
+
+
+def test_windowed_topk_shape(spark):
+    out = QUERIES["stream_windowed_topk"](spark, ORACLE_SF).toPandas()
+    assert (out.rnk <= 3).all() and (out.rnk >= 1).all()
+    assert (out.window_start % 3600 == 0).all()
+    # within each window counts are non-increasing with rank
+    for _, g in out.groupby("window_start"):
+        g = g.sort_values("rnk")
+        assert g.cnt.is_monotonic_decreasing or (
+            sorted(g.cnt, reverse=True) == list(g.cnt)
+        )
+
+
+def test_ndcg_in_unit_interval(spark):
+    r = QUERIES["x_eval_ndcg"](spark, ORACLE_SF).toPandas().iloc[0]
+    assert 0 < r.ndcg_at_10 <= 1.0
+    assert r.idcg_scaled >= r.dcg_scaled > 0
+
+
+def test_langid_ngram_structure(spark):
+    out = QUERIES["x_text_langid_ngram"](spark, ORACLE_SF).toPandas()
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert set(out.pred_lang) <= langs
+    score_cols = [f"s_{l}" for l in sorted(langs)]
+    assert (out[score_cols] >= 0).all().all()
+    # the argmax contract: the predicted language's score is maximal
+    mx = out[score_cols].max(axis=1)
+    pred_score = out.apply(lambda r: r[f"s_{r.pred_lang}"], axis=1)
+    assert (pred_score == mx).all()
+    # NOTE: accuracy vs the lang label is intentionally NOT asserted —
+    # this corpus draws all languages from one shared vocabulary, so the
+    # label carries no textual signal (see the operator docstring).
