@@ -932,12 +932,14 @@ def x_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh s JOIN df d USING (shingle)
     ),
     prefix AS (
-      SELECT doc_id, shingle FROM ranked
+      SELECT doc_id, shingle, sz FROM ranked
       WHERE rn <= sz - ((35 * sz + 99) // 100) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND 100 * b.sz >= 35 * a.sz AND 100 * a.sz >= 35 * b.sz
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -991,12 +993,47 @@ def x_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.expr("(35 * sz + 99) div 100") + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "sz")
+    # AllPairs' second pruning rule, the LENGTH filter: J(a,b) >= t forces
+    # t*|a| <= |b| (and symmetrically), so size-incompatible pairs drop at
+    # candidate generation, before the DISTINCT and the verify join.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (100 * F.col("b.sz") >= 35 * F.col("a.sz"))
+            & (100 * F.col("a.sz") >= 35 * F.col("b.sz"))
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(sh, cand)
+    # Verification shape matters as much as candidate generation: with a
+    # LARGE candidate set (hundreds of thousands of pairs on this
+    # high-sharing corpus), _verify_jaccard's join-back (cand x full
+    # posting lists) explodes to |cand| * avg-shingles rows (~50M at
+    # sf0.1, measured 6 s). Instead intersect via the match stream —
+    # the same inverted-index self-join near_jaccard uses — SEMI-joined
+    # to the candidate set, which caps the stream at sharing-pairs
+    # (~4M) regardless of candidate count. _verify_jaccard stays the
+    # right shape for MinHash/banded LSH where candidates are FEW.
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
