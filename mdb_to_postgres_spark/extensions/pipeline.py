@@ -897,3 +897,58 @@ def x_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rows_at_risk").cast("double") / F.col("n_rows")).alias("risk_share"),
         (F.col("k_anonymity") >= _K_ANON).alias("releasable"),
     )
+
+
+_LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@query(
+    "x_pack_length_bucketing",
+    oracle=f"""
+    WITH b AS (
+      SELECT n_chars,
+             CASE
+               {' '.join(f"WHEN n_chars <= {t} THEN {t}" for t in _LEN_BUCKETS)}
+               ELSE -1
+             END AS bucket_max
+      FROM documents
+    )
+    SELECT bucket_max,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS content_chars,
+           CAST(COUNT(*) * bucket_max AS BIGINT) AS padded_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / (COUNT(*) * bucket_max) AS pack_efficiency
+    FROM b WHERE bucket_max > 0
+    GROUP BY bucket_max
+    """,
+)
+def x_pack_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (#69 cont.): assign each document to the
+    smallest power-of-two length bucket that holds it and report the
+    padding efficiency (content / padded capacity) per bucket — the
+    dynamic-batching layout that cuts padding waste when fixed-shape
+    batches feed an accelerator, complementary to x_pack_sequences'
+    concat-packing (bucketing preserves document boundaries; packing
+    does not).
+
+    The bucket ladder is a literal CASE (no log2 at query time — the
+    transcendental's boundary behavior at exact powers of two differs
+    per libm); everything else is one two-phase aggregate whose shuffle
+    carries #buckets rows. At scale the same bucket column becomes the
+    repartition key, so each output file holds one shape."""
+    d = T(spark, sf_dir, "documents")
+    expr = "CASE " + " ".join(
+        f"WHEN n_chars <= {t} THEN {t}" for t in _LEN_BUCKETS
+    ) + " ELSE -1 END"
+    b = d.select("n_chars", F.expr(expr).alias("bucket_max")).filter(
+        F.col("bucket_max") > 0
+    )
+    return b.groupBy("bucket_max").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("content_chars"),
+        (F.count("*") * F.col("bucket_max").cast("bigint")).cast("bigint").alias("padded_chars"),
+        (
+            F.sum("n_chars").cast("double")
+            / (F.count("*") * F.col("bucket_max").cast("bigint"))
+        ).alias("pack_efficiency"),
+    )

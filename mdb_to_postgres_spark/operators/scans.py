@@ -883,3 +883,77 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             "matches"
         ),
     )
+
+
+@query(
+    "etl_build_star_schema",
+    oracle="""
+    WITH dim_user AS (
+      SELECT user_id, DENSE_RANK() OVER (ORDER BY user_id) AS user_sk
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    dim_type AS (
+      SELECT event_type, DENSE_RANK() OVER (ORDER BY event_type) AS type_sk
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    fact AS (
+      SELECT e.event_id, du.user_sk, dt.type_sk,
+             CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e
+      JOIN dim_user du ON e.user_id = du.user_id
+      JOIN dim_type dt ON e.event_type = dt.event_type
+    )
+    SELECT f.type_sk, dt.event_type,
+           COUNT(*) AS fact_rows,
+           COUNT(DISTINCT f.user_sk) AS distinct_users,
+           CAST(SUM(f.v) AS DOUBLE) AS value_sum,
+           (SELECT COUNT(*) FROM dim_user) AS dim_user_rows
+    FROM fact f JOIN dim_type dt ON f.type_sk = dt.type_sk
+    GROUP BY f.type_sk, dt.event_type
+    """,
+)
+def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensional (star-schema) load (#78 cont.): mint surrogate keys
+    for each natural key via DENSE_RANK over the distinct key set, swap
+    the fact's natural keys for surrogates through dimension joins, and
+    publish the per-dimension rollup that a BI layer reads — the
+    warehouse-modeling step between raw events and reporting.
+
+    DENSE_RANK over a sorted distinct-key set is the deterministic
+    surrogate generator (same key -> same sk on every engine and every
+    rerun — monotonically_increasing_id would be neither); at 100 TB the
+    rank runs over DISTINCT keys only (users, not events) and incremental
+    loads extend it with max(sk) + dense_rank over the new keys.
+    Dimension joins broadcast (dims are small by construction); the fact
+    never shuffles except for the final rollup."""
+    from pyspark.sql.window import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    dim_user = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("user_sk", F.dense_rank().over(Window.orderBy("user_id")))
+    )
+    dim_type = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_sk", F.dense_rank().over(Window.orderBy("event_type")))
+    )
+    fact = (
+        ev.join(F.broadcast(dim_user), "user_id")
+        .join(F.broadcast(dim_type), "event_type")
+        .select(
+            "event_id", "user_sk", "type_sk", F.col("value").cast("decimal(18,2)").alias("v")
+        )
+    )
+    n_users = dim_user.agg(F.count("*").alias("dim_user_rows"))
+    return (
+        fact.join(F.broadcast(dim_type.select("type_sk", "event_type")), "type_sk")
+        .groupBy("type_sk", "event_type")
+        .agg(
+            F.count("*").alias("fact_rows"),
+            F.countDistinct("user_sk").alias("distinct_users"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
