@@ -1092,3 +1092,165 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("bigint").alias("exact_distinct"),
         est.alias("est_distinct"),
     )
+
+
+@query(
+    "agg_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             median(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT mad.event_type, mad.med, mad.mad,
+           CAST(COUNT(*) FILTER (
+             WHERE ABS(e.value - mad.med) > 3.0 * 1.4826 * mad.mad
+           ) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    GROUP BY mad.event_type, mad.med, mad.mad
+    """,
+)
+def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per event type (#139 cont.) —
+    the heavy-tail-safe complement to agg_outlier_zscore: mean/stddev are
+    themselves dragged by the outliers they're meant to find, while the
+    median and the median-absolute-deviation have a 50% breakdown point.
+    The flag threshold is the classic |x - med| > 3 * 1.4826 * MAD
+    (1.4826 scales MAD to sigma under normality).
+
+    Exactly the zscore plan shape with medians in place of moments: a
+    per-type median table broadcast back against the fact (twice — MAD
+    is a median OF residuals, so it needs a second pass by definition),
+    then one counting pass. Both engines interpolate medians identically
+    (verified by agg_quantiles), |x-med| is one subtraction per row, and
+    the comparison constant folds — three scans total, each shuffling
+    only per-type scalars."""
+    ev = T(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count_if(
+                F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    cx AS (SELECT lang, COUNT(*) AS c_x FROM documents GROUP BY lang),
+    cy AS (SELECT source, COUNT(*) AS c_y FROM documents GROUP BY source),
+    cxy AS (SELECT lang, source, COUNT(*) AS c_xy FROM documents GROUP BY lang, source),
+    terms AS (
+      SELECT CAST(ROUND((CAST(c_xy AS DOUBLE) / n.n)
+               * LN(CAST(c_xy AS DOUBLE) * n.n / (c_x * CAST(c_y AS DOUBLE))), 12)
+               AS DECIMAL(28,15)) AS t_mi
+      FROM cxy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN n
+    ),
+    hx AS (
+      SELECT CAST(SUM(CAST(ROUND(-(CAST(c_x AS DOUBLE) / n.n)
+               * LN(CAST(c_x AS DOUBLE) / n.n), 12) AS DECIMAL(28,15))) AS DOUBLE) AS h_x
+      FROM cx CROSS JOIN n
+    ),
+    hy AS (
+      SELECT CAST(SUM(CAST(ROUND(-(CAST(c_y AS DOUBLE) / n.n)
+               * LN(CAST(c_y AS DOUBLE) / n.n), 12) AS DECIMAL(28,15))) AS DOUBLE) AS h_y
+      FROM cy CROSS JOIN n
+    )
+    SELECT CAST(SUM(t_mi) AS DOUBLE) AS mi_nats, h_x, h_y,
+           CAST(SUM(t_mi) AS DOUBLE) / SQRT(h_x * h_y) AS nmi
+    FROM terms, hx, hy
+    GROUP BY h_x, h_y
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI between two categorical columns
+    (lang x source) (#32 cont.) — the dependence statistic behind feature
+    selection and leakage screens (a near-1 NMI between a feature and the
+    label is a red flag; near-0 here says the corpus assigns lang and
+    source independently).
+
+    Determinism discipline for a transcendental-bearing SUM: each of the
+    |X|*|Y| cells' terms is ROUNDed (12 dp — the one ln is within 1 ulp
+    on both engines, the round absorbs it) then accumulated as exact
+    DECIMAL, so the cell-sum order never touches the result (the BM25 /
+    fingerprint discipline). Counting is three thin aggregates; the term
+    table is |X|*|Y| rows no matter the corpus size."""
+    d = T(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n"))
+    cx = d.groupBy("lang").agg(F.count("*").alias("c_x"))
+    cy = d.groupBy("source").agg(F.count("*").alias("c_y"))
+    cxy = d.groupBy("lang", "source").agg(F.count("*").alias("c_xy"))
+    terms = (
+        cxy.join(F.broadcast(cx), "lang")
+        .join(F.broadcast(cy), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (F.col("c_xy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n")
+                    / (F.col("c_x") * F.col("c_y").cast("double"))
+                ),
+                12,
+            )
+            .cast("decimal(28,15)")
+            .alias("t_mi")
+        )
+    )
+    hx = (
+        cx.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                -(F.col("c_x").cast("double") / F.col("n"))
+                * F.log(F.col("c_x").cast("double") / F.col("n")),
+                12,
+            )
+            .cast("decimal(28,15)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("h_x"))
+    )
+    hy = (
+        cy.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                -(F.col("c_y").cast("double") / F.col("n"))
+                * F.log(F.col("c_y").cast("double") / F.col("n")),
+                12,
+            )
+            .cast("decimal(28,15)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("h_y"))
+    )
+    mi = terms.agg(F.sum("t_mi").cast("double").alias("mi_nats"))
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "mi_nats",
+            "h_x",
+            "h_y",
+            (F.col("mi_nats") / F.sqrt(F.col("h_x") * F.col("h_y"))).alias("nmi"),
+        )
+    )
