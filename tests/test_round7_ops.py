@@ -92,3 +92,44 @@ def test_langid_ngram_structure(spark):
     # NOTE: accuracy vs the lang label is intentionally NOT asserted —
     # this corpus draws all languages from one shared vocabulary, so the
     # label carries no textual signal (see the operator docstring).
+
+
+def test_star_schema_surrogates_consistent(spark):
+    out = QUERIES["etl_build_star_schema"](spark, ORACLE_SF).toPandas()
+    ev = pd.read_parquet(f"{ORACLE_SF}/events.parquet")
+    # rollup covers every fact row exactly once
+    assert out.fact_rows.sum() == len(ev)
+    # surrogate keys are dense 1..|types| with deterministic assignment
+    assert sorted(out.type_sk) == list(range(1, len(out) + 1))
+    assert (out.dim_user_rows == ev.user_id.nunique()).all()
+    assert (out.distinct_users <= out.dim_user_rows).all()
+
+
+def test_length_bucketing_efficiency_bounds(spark):
+    out = QUERIES["x_pack_length_bucketing"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    assert ((out.pack_efficiency > 0) & (out.pack_efficiency <= 1)).all()
+    assert (out.content_chars <= out.padded_chars).all()
+    # bucket boundary contract: content fits, and wouldn't fit one bucket down
+    docs = pd.read_parquet(f"{ORACLE_SF}/documents.parquet")
+    assert out.docs.sum() == (docs.n_chars <= 4096).sum()
+
+
+def test_mad_robust_vs_zscore(spark):
+    mad = QUERIES["agg_outlier_mad"](spark, ORACLE_SF).toPandas()
+    assert (mad.mad >= 0).all()
+    assert (mad.n_outliers <= mad.n).all()
+    # the MAD screen flags a nonzero but small share on the heavy-tailed value
+    share = mad.n_outliers.sum() / mad.n.sum()
+    assert 0 < share < 0.2
+
+
+def test_mutual_information_bounds(spark):
+    r = QUERIES["agg_mutual_information"](spark, ORACLE_SF).toPandas().iloc[0]
+    # MI is non-negative (up to the 1e-12 rounding grain) and bounded by
+    # min entropy; NMI in [0, 1]
+    assert r.mi_nats >= -1e-9
+    assert r.mi_nats <= min(r.h_x, r.h_y) + 1e-9
+    assert -1e-9 <= r.nmi <= 1 + 1e-9
+    # lang and source are assigned independently in this corpus
+    assert r.nmi < 0.2
