@@ -1049,3 +1049,77 @@ def x_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.35)
     )
     return jac.select("doc_a", "doc_b", "jaccard")
+
+
+@query(
+    "x_dedup_threshold_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(list_transform(range(len(l) - 2),
+             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+      FROM toks WHERE len(l) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+      SELECT CAST(i.isect AS DOUBLE) / (sa.sz + sb.sz - i.isect) AS jac
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS jaccard_band,
+           COUNT(*) AS n_pairs,
+           MIN(jac) AS min_jaccard,
+           MAX(jac) AS max_jaccard
+    FROM j GROUP BY 1
+    """,
+)
+def x_dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold tuning curve (#60 cont.): the full pairwise
+    Jaccard distribution over shingle-sharing pairs, bucketed into ten
+    bands — what an engineer reads BEFORE choosing the dedup threshold
+    (and the MinHash band/row parameters that approximate it): a bimodal
+    histogram means a safe threshold exists in the valley; a smooth
+    decay means every threshold trades recall for precision.
+
+    Reuses the cached shingle substrate and the near_jaccard match-
+    stream shape with the threshold filter REMOVED (the whole point);
+    the result is 10 rows regardless of corpus size, and at 100 TB the
+    same curve is computed on the md5-band sample (agg_sampled_estimate)
+    rather than every pair."""
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            (
+                F.col("isect").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))
+            ).alias("jac")
+        )
+    )
+    return jac.groupBy(
+        F.least(F.floor(F.col("jac") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "jaccard_band"
+        )
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("jac").alias("min_jaccard"),
+        F.max("jac").alias("max_jaccard"),
+    )

@@ -952,3 +952,44 @@ def x_pack_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.col("bucket_max").cast("bigint"))
         ).alias("pack_efficiency"),
     )
+
+
+@query(
+    "x_mix_epoch_shuffle",
+    oracle="""
+    WITH ordered AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch
+               ORDER BY md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+             ) AS position
+      FROM (SELECT doc_id FROM documents), (SELECT UNNEST(range(3)) AS epoch)
+    )
+    SELECT epoch, position, doc_id
+    FROM ordered WHERE position <= 25
+    """,
+)
+def x_mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffling (#80 cont.): each training epoch
+    orders the corpus by md5(epoch || doc_id) — a different but fully
+    reproducible permutation per epoch, so a resumed/re-run job sees the
+    identical batch order with zero shuffle-state to persist (the data-
+    loader property RNG seeds only give you if the worker topology never
+    changes). Emitted: each epoch's first 25 positions.
+
+    The hash IS the sort key, so at scale the epoch order is a
+    repartitionByRange over it (range-partitioned sort, no global
+    bottleneck), and epochs are independent — exactly how multi-epoch
+    corpus orders ship to trainers."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("bigint").alias("epoch"))
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    ordered = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "position",
+        F.row_number().over(Window.partitionBy("epoch").orderBy(key)),
+    )
+    return ordered.filter(F.col("position") <= 25).select("epoch", "position", "doc_id")

@@ -1222,3 +1222,105 @@ def x_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+_MRL_DIM = 16  # truncation prefix (of DIM=64): the Matryoshka sub-vector
+
+
+def _mrl_terms(q: str, c: str, n: int, off: int) -> str:
+    """Unrolled left-associative dot product — IDENTICAL term order text
+    on both engines (off=0 Spark arrays, off=1 DuckDB lists), so the
+    float adds execute in the same sequence bit-for-bit."""
+    return " + ".join(
+        f"CAST({q}[{i + off}] AS DOUBLE) * CAST({c}[{i + off}] AS DOUBLE)"
+        for i in range(n)
+    )
+
+
+def _mrl_norm(v: str, n: int, off: int) -> str:
+    sq = " + ".join(
+        f"CAST({v}[{i + off}] AS DOUBLE) * CAST({v}[{i + off}] AS DOUBLE)"
+        for i in range(n)
+    )
+    return f"SQRT({sq})"
+
+
+def _mrl_oracle() -> str:
+    def ranked(n: int, name: str) -> str:
+        cos = (
+            f"({_mrl_terms('q.embedding', 'c.embedding', n, 1)})"
+            f" / (({_mrl_norm('q.embedding', n, 1)}) * ({_mrl_norm('c.embedding', n, 1)}))"
+        )
+        return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20) c
+      ) WHERE rn <= 5
+    )"""
+
+    return f"""
+    WITH {ranked(64, 'full_top')}, {ranked(_MRL_DIM, 'trunc_top')}
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS kept,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM full_top f
+    LEFT JOIN trunc_top t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+@query("x_sim_matryoshka_recall", oracle=_mrl_oracle())
+def x_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit (#62 cont.): rank neighbors by
+    the FIRST {dim} dims of the 64-dim embedding and measure top-5
+    recall against the full-precision ranking, per query — the
+    go/no-go measurement before serving truncated vectors (4x cheaper
+    scan + memory) from an MRL-trained model; on non-MRL embeddings
+    like these the recall printout IS the evidence that truncation
+    needs the training-side counterpart.
+
+    Both rankings share one broadcast-query cross join over the corpus;
+    dot products are unrolled left-associative expressions with
+    identical term order on both engines (the similarity tier's
+    determinism discipline), so even the float ranking hash-matches.
+    Per-query top-5s come from ranked windows; the recall join touches
+    40 rows per query.""".replace("{dim}", str(_MRL_DIM))
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+    )
+
+    def top(n: int) -> DataFrame:
+        cos = F.expr(
+            f"({_mrl_terms('qemb', 'cemb', n, 0)})"
+            f" / (({_mrl_norm('qemb', n, 0)}) * ({_mrl_norm('cemb', n, 0)}))"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            c.crossJoin(F.broadcast(q))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_top = top(64)
+    trunc_top = top(_MRL_DIM).withColumnRenamed("neighbor_id", "t_neighbor")
+    joined = full_top.join(
+        trunc_top,
+        (full_top.query_id == trunc_top.query_id)
+        & (full_top.neighbor_id == trunc_top.t_neighbor),
+        "left",
+    ).select(full_top.query_id, trunc_top.t_neighbor)
+    return joined.groupBy("query_id").agg(
+        F.count("t_neighbor").cast("bigint").alias("kept"),
+        (F.count("t_neighbor").cast("double") / 5).alias("recall_at_5"),
+    )

@@ -1254,3 +1254,40 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mi_nats") / F.sqrt(F.col("h_x") * F.col("h_y"))).alias("nmi"),
         )
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id disambiguation (#29 cont.): in a grouping-
+    sets result a NULL group key is ambiguous — it can be a real NULL
+    value or the 'all' placeholder of a coarser set. GROUPING(col) is the
+    engine's authoritative bit (1 = aggregated away), composed here into
+    the standard bitmask id — the column BI layers and incremental
+    rollup-merges key on, rather than guessing from NULLs.
+
+    Same single-scan Expand + two-phase aggregate as agg_grouping_sets;
+    the id is computed per output row from plan metadata, at zero data
+    cost."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("cnt"),
+        )
+    )

@@ -207,3 +207,37 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return page
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, big_balance
+    FROM (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 5000 THEN c_acctbal ELSE NULL END AS big_balance
+      FROM customer
+    )
+    ORDER BY big_balance DESC NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY (#39 cont.): engines disagree
+    by DEFAULT (Spark sorts NULLS FIRST ascending / LAST descending;
+    Postgres the opposite for ASC) — any migrated ORDER BY with nullable
+    keys silently reorders unless NULLS FIRST/LAST is spelled out. This
+    query pins the explicit form: DESC NULLS LAST with a deterministic
+    tiebreak, hash-checked so a default-semantics regression on either
+    side fails loudly.
+
+    Plan is TakeOrderedAndProject (per-partition top-k, merge on the
+    driver), same as limit_topk — the NULL placement rides the sort key
+    comparator, costing nothing."""
+    c = T(spark, sf_dir, "customer")
+    big = F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal")).otherwise(F.lit(None))
+    return (
+        c.select("c_custkey", big.alias("big_balance"))
+        .orderBy(F.desc_nulls_last("big_balance"), F.asc("c_custkey"))
+        .limit(50)
+    )
