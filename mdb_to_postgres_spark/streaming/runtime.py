@@ -448,3 +448,36 @@ def session_counts_dynamic(events: DataFrame, watermark: str = "1 hour") -> Data
             "event_cnt",
         )
     )
+
+
+def run_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of batch_forms.stream_windowed_topk: the count
+    stage runs as an incremental windowed aggregation under the real
+    engine (append mode, availableNow); the rank-and-cut is applied to
+    the materialized sink — the standard deployment split, because a
+    global per-window rank is not an incremental operator (it would
+    re-order on every update) while ranking CLOSED windows in the sink
+    is a <= |types|-row batch step per window."""
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    sink = run_to_memory(spark, counts, "win_topk_stream", "append")
+    from pyspark.sql.window import Window as W
+
+    return (
+        sink.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

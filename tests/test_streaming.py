@@ -240,3 +240,13 @@ def test_stream_session_dynamic_gap_equals_batch(spark):
     # be near-total
     assert got_s <= want_s
     assert len(got_s) >= 0.95 * len(want_s), (len(got_s), len(want_s))
+
+
+def test_stream_windowed_topk_equals_batch(spark):
+    # Append mode emits only closed (watermark-passed) windows; the one
+    # never-closed trailing window is the expected difference, so compare
+    # on the streamed window set.
+    got = runtime.run_windowed_topk(spark, ORACLE_SF).toPandas()
+    want = QUERIES["stream_windowed_topk"](spark, ORACLE_SF).toPandas()
+    want = want[want.window_start.isin(set(got.window_start))]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
