@@ -1334,3 +1334,109 @@ def x_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("zh")
     )
     return scores.withColumn("pred_lang", pred)
+
+
+@query(
+    "x_text_keyphrase_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, l[pos + 1] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l,
+                   UNNEST(range(len(l))) AS pos
+            FROM documents)
+    ),
+    seg AS (
+      SELECT doc_id, pos, tok,
+             tok IN ({', '.join(f"'{w}'" for w in _STOPWORDS)}) OR tok = '' AS is_stop,
+             SUM(CASE WHEN tok IN ({', '.join(f"'{w}'" for w in _STOPWORDS)}) OR tok = ''
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+      FROM tok
+    ),
+    words AS (SELECT doc_id, seg_id, pos, tok FROM seg WHERE NOT is_stop),
+    phrases AS (
+      SELECT doc_id, seg_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM words GROUP BY doc_id, seg_id
+    ),
+    wstat AS (
+      SELECT w.tok,
+             CAST(ROUND(CAST(SUM(p.plen) AS DOUBLE) / COUNT(*), 9)
+                  AS DECIMAL(28,15)) AS w_score
+      FROM words w JOIN phrases p
+        ON w.doc_id = p.doc_id AND w.seg_id = p.seg_id
+      GROUP BY w.tok
+    ),
+    scored AS (
+      SELECT p.phrase, p.doc_id, p.seg_id,
+             CAST(SUM(s.w_score) AS DOUBLE) AS score
+      FROM phrases p
+      JOIN words w ON w.doc_id = p.doc_id AND w.seg_id = p.seg_id
+      JOIN wstat s ON s.tok = w.tok
+      GROUP BY p.phrase, p.doc_id, p.seg_id
+    )
+    SELECT phrase, COUNT(*) AS occurrences, MIN(score) AS score
+    FROM scored
+    GROUP BY phrase
+    ORDER BY MIN(score) DESC, phrase
+    LIMIT 15
+    """,
+)
+def x_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (#63 cont.): candidate phrases are the
+    stopword-delimited token runs; each word scores degree/frequency
+    (degree = summed length of the phrases it appears in — rewarding
+    words that travel in long collocations); a phrase scores the sum of
+    its member word scores. Corpus-level top-15.
+
+    Set-based RAKE: the segment id is a running stopword count (one
+    per-doc window), phrases reassemble with the order-preserving
+    sorted-struct concat, and word/phrase scoring is two joins + two
+    aggregations over (doc, seg) keys. Determinism discipline: word
+    scores are ROUNDed then accumulated as exact DECIMAL per phrase
+    (order-free sum — the BM25 treatment), and identical phrase text
+    yields identical scores by construction, so the corpus-level group
+    is well-defined. Everything keys on (doc_id, seg_id) or token —
+    within-doc work plus one vocabulary-sized aggregate."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok")
+    )
+    is_stop = F.col("tok").isin(*_STOPWORDS) | (F.col("tok") == "")
+    seg = tok.withColumn("is_stop", is_stop).withColumn(
+        "seg_id",
+        F.sum(F.col("is_stop").cast("int")).over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    words = seg.filter(~F.col("is_stop")).select("doc_id", "seg_id", "pos", "tok")
+    phrases = words.groupBy("doc_id", "seg_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wstat = (
+        words.join(phrases.select("doc_id", "seg_id", "plen"), ["doc_id", "seg_id"])
+        .groupBy("tok")
+        .agg(
+            F.round(F.sum("plen").cast("double") / F.count("*"), 9)
+            .cast("decimal(28,15)")
+            .alias("w_score")
+        )
+    )
+    scored = (
+        phrases.join(words, ["doc_id", "seg_id"])
+        .join(wstat, "tok")
+        .groupBy("phrase", "doc_id", "seg_id")
+        .agg(F.sum("w_score").cast("double").alias("score"))
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(F.count("*").alias("occurrences"), F.min("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(15)
+    )

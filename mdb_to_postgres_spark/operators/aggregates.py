@@ -1291,3 +1291,56 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
     )
+
+
+_MLR_MOMENTS = """
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+      FROM (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+                   CAST(l_discount AS DECIMAL(18,2)) AS x2,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+            FROM lineitem)
+"""
+
+_MLR_FINAL = """
+    SELECT n,
+           ((s11 - s1 * s1 / n) * (s2y - s2 * sy / n)
+            - (s12 - s1 * s2 / n) * (s1y - s1 * sy / n))
+           / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+              - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) AS beta_discount,
+           ((s22 - s2 * s2 / n) * (s1y - s1 * sy / n)
+            - (s12 - s1 * s2 / n) * (s2y - s2 * sy / n))
+           / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+              - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) AS beta_qty
+    FROM m
+"""
+
+
+@query(
+    "agg_linear_regression_multi",
+    oracle=f"WITH m AS ({_MLR_MOMENTS})\n{_MLR_FINAL}",
+)
+def agg_linear_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS regression (#32 cont.): price ~ quantity +
+    discount, solved in closed form from the 2x2 normal equations over
+    centered second moments — multivariate regression as ONE aggregation
+    pass plus a fixed arithmetic epilogue, the way SQL engines implement
+    regr_* families and how a feature-importance sweep runs at 100 TB
+    (9 moment sums; no iterative solver, no data movement after the
+    single scan).
+
+    The agg_corr_exact discipline, extended: every moment accumulates
+    as exact DECIMAL (order-free), and the TEXTUALLY IDENTICAL sequence
+    of IEEE ops — shared between the Spark epilogue and the oracle via
+    one SQL string — produces bit-equal coefficients on both engines.
+    For k predictors the same shape carries k(k+3)/2 moment sums; the
+    closed form gives way to a broadcast Cholesky of the k x k Gram
+    matrix, still one scan."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"WITH m AS ({_MLR_MOMENTS})\n{_MLR_FINAL}")

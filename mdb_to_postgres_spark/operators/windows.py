@@ -949,3 +949,71 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_sec",
         (F.col("wsum").cast("double") / F.col("span_sec")).alias("twap"),
     )
+
+
+@query(
+    "win_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_revenue
+      FROM rev
+    ),
+    cls AS (
+      SELECT l_partkey,
+             CASE WHEN 10 * (cum_revenue - revenue) < 8 * t.total THEN 'A'
+                  WHEN 20 * (cum_revenue - revenue) < 19 * t.total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             revenue
+      FROM ranked CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+           MIN(l_partkey) AS min_partkey
+    FROM cls GROUP BY abc_class
+    """,
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (#36 cont.): parts ranked by revenue,
+    classified A while the PRIOR cumulative share is under 80%, B under
+    95%, C after — the inventory-management cut ('20% of items drive 80%
+    of value') and, in a data pipeline, the shard-pruning heuristic for
+    hot-key handling.
+
+    Class boundaries compare exact DECIMAL cumulative sums against
+    integer-scaled thresholds (10*cum < 8*total for 80%) — no float
+    ratio ever computed, so the classification is bit-deterministic.
+    One groupBy + one ordered prefix-sum window (range-partitioned sort
+    at scale) + a 3-row rollup."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("cum_revenue", F.sum("revenue").over(w))
+    prior = F.col("cum_revenue") - F.col("revenue")
+    cls = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        F.when(10 * prior < 8 * F.col("total"), "A")
+        .when(20 * prior < 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+        F.min("l_partkey").alias("min_partkey"),
+    )
