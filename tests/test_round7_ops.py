@@ -133,3 +133,45 @@ def test_mutual_information_bounds(spark):
     assert -1e-9 <= r.nmi <= 1 + 1e-9
     # lang and source are assigned independently in this corpus
     assert r.nmi < 0.2
+
+
+def test_multiple_regression_matches_numpy(spark):
+    import numpy as np
+
+    r = QUERIES["agg_linear_regression_multi"](spark, ORACLE_SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{ORACLE_SF}/lineitem.parquet")
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li.l_quantity.astype("float64").round(2),
+            li.l_discount.astype("float64").round(2),
+        ]
+    )
+    y = li.l_extendedprice.astype("float64").round(2)
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert abs(r.beta_qty - beta[1]) < 1e-6 * max(1, abs(beta[1]))
+    assert abs(r.beta_discount - beta[2]) < 1e-6 * max(1, abs(beta[2]))
+
+
+def test_pareto_abc_shares(spark):
+    out = QUERIES["win_pareto_abc"](spark, ORACLE_SF).toPandas().set_index("abc_class")
+    total = out.class_revenue.sum()
+    share_a = out.loc["A"].class_revenue / total
+    # A covers at least the 80% cut (it includes the crossing part)
+    assert share_a >= 0.80
+    assert (out.loc["A"].class_revenue + out.loc["B"].class_revenue) / total >= 0.95
+    # the Pareto property: A has fewer parts than C on a skewed measure
+    assert out.loc["A"].n_parts < out.n_parts.sum()
+
+
+def test_rake_phrases_are_stopword_free(spark):
+    from mdb_to_postgres_spark.extensions.text_analysis import _STOPWORDS
+
+    out = QUERIES["x_text_keyphrase_rake"](spark, ORACLE_SF).toPandas()
+    assert 0 < len(out) <= 15
+    assert (out.score > 0).all() and (out.occurrences >= 1).all()
+    for p in out.phrase:
+        assert p.strip() != ""
+        assert not (set(p.split()) & set(_STOPWORDS)), p
+    # longer collocations outrank single words at the top (degree effect)
+    assert out.iloc[0].phrase.count(" ") >= 1
