@@ -1362,24 +1362,24 @@ def x_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wstat AS (
       SELECT w.tok,
-             CAST(ROUND(CAST(SUM(p.plen) AS DOUBLE) / COUNT(*), 9)
-                  AS DECIMAL(28,15)) AS w_score
+             CAST(SUM(p.plen) AS BIGINT) * 1000000000 // COUNT(*) AS w_score_ppb
       FROM words w JOIN phrases p
         ON w.doc_id = p.doc_id AND w.seg_id = p.seg_id
       GROUP BY w.tok
     ),
     scored AS (
       SELECT p.phrase, p.doc_id, p.seg_id,
-             CAST(SUM(s.w_score) AS DOUBLE) AS score
+             CAST(SUM(s.w_score_ppb) AS BIGINT) AS score_ppb
       FROM phrases p
       JOIN words w ON w.doc_id = p.doc_id AND w.seg_id = p.seg_id
       JOIN wstat s ON s.tok = w.tok
       GROUP BY p.phrase, p.doc_id, p.seg_id
     )
-    SELECT phrase, COUNT(*) AS occurrences, MIN(score) AS score
+    SELECT phrase, COUNT(*) AS occurrences,
+           CAST(MIN(score_ppb) AS DOUBLE) / 1000000000 AS score
     FROM scored
     GROUP BY phrase
-    ORDER BY MIN(score) DESC, phrase
+    ORDER BY MIN(score_ppb) DESC, phrase
     LIMIT 15
     """,
 )
@@ -1419,24 +1419,32 @@ def x_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count("*").alias("plen"),
     )
+    # Word scores as EXACT parts-per-billion integers (floor of the
+    # scaled ratio): ROUND(degree/freq, 9) differed between the engines'
+    # decimal-string vs float-rint rounding paths in the target digit
+    # (the documented ROUND hazard), which shifted phrase sums by 1e-9
+    # and failed the strict parity gate; integer division cannot.
     wstat = (
         words.join(phrases.select("doc_id", "seg_id", "plen"), ["doc_id", "seg_id"])
         .groupBy("tok")
         .agg(
-            F.round(F.sum("plen").cast("double") / F.count("*"), 9)
-            .cast("decimal(28,15)")
-            .alias("w_score")
+            F.expr("(cast(sum(plen) as bigint) * 1000000000L) div count(*)").alias(
+                "w_score_ppb"
+            )
         )
     )
     scored = (
         phrases.join(words, ["doc_id", "seg_id"])
         .join(wstat, "tok")
         .groupBy("phrase", "doc_id", "seg_id")
-        .agg(F.sum("w_score").cast("double").alias("score"))
+        .agg(F.sum("w_score_ppb").cast("bigint").alias("score_ppb"))
     )
     return (
         scored.groupBy("phrase")
-        .agg(F.count("*").alias("occurrences"), F.min("score").alias("score"))
-        .orderBy(F.desc("score"), F.asc("phrase"))
+        .agg(
+            F.count("*").alias("occurrences"),
+            (F.min("score_ppb").cast("double") / 1000000000).alias("score"),
+        )
+        .orderBy(F.desc(F.min("score_ppb")), F.asc("phrase"))
         .limit(15)
     )
