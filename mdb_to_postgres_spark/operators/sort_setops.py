@@ -241,3 +241,67 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_last("big_balance"), F.asc("c_custkey"))
         .limit(50)
     )
+
+
+@query(
+    "sort_global_rank_twophase",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS global_rank
+    FROM customer
+    QUALIFY global_rank <= 100
+    """,
+)
+def sort_global_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking WITHOUT a single-partition window (#39 cont.) —
+    the two-phase formulation every 'global Window.orderBy collapses to
+    one partition' caveat in this repo points at, implemented and
+    hash-checked against the engine's own ROW_NUMBER:
+
+      phase 1: repartitionByRange on the sort key — each of P partitions
+               holds a contiguous key range, ranked locally;
+      phase 2: per-partition row counts (P rows) become cumulative
+               offsets via a window over P rows; global_rank = offset of
+               my range + local rank.
+
+    The result is invariant to WHERE the sampled range boundaries fall —
+    only the per-partition offsets change, not the arithmetic — so the
+    nondeterminism of range sampling never reaches the output. At 100 TB
+    this is how global ranks/percentiles actually ship: the only
+    all-data operations are one range exchange and per-partition sorts;
+    everything global is a P-row table. (The local-rank window keys on
+    the materialized partition id column, so its exchange moves each
+    range as a unit; the single-partition step touches P rows, not
+    rows-of-data.) Output limited to the top 100 for a bounded check."""
+    from pyspark.sql.window import Window
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranged = (
+        c.repartitionByRange(8, F.desc("c_acctbal"), F.asc("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "local_rank",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        ),
+    )
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "offset")
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("offset") + F.col("local_rank")).alias("global_rank"),
+        )
+        .filter(F.col("global_rank") <= 100)
+    )

@@ -175,3 +175,18 @@ def test_rake_phrases_are_stopword_free(spark):
         assert not (set(p.split()) & set(_STOPWORDS)), p
     # longer collocations outrank single words at the top (degree effect)
     assert out.iloc[0].phrase.count(" ") >= 1
+
+
+def test_twophase_rank_deterministic_and_dense(spark):
+    a = QUERIES["sort_global_rank_twophase"](spark, ORACLE_SF).toPandas()
+    b = QUERIES["sort_global_rank_twophase"](spark, ORACLE_SF).toPandas()
+    key = ["global_rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    # invariant to range-boundary sampling: identical across runs
+    pd.testing.assert_frame_equal(a, b)
+    # ranks are dense 1..100 and ordered by the sort key
+    assert list(a.global_rank) == list(range(1, 101))
+    assert a.c_acctbal.is_monotonic_decreasing or (
+        sorted(a.c_acctbal, reverse=True) == list(a.c_acctbal)
+    )
