@@ -197,3 +197,83 @@ def x_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.sum("degree").cast("bigint").alias("edge_endpoints"),
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    sql = (
+        f"WITH pairs AS MATERIALIZED ({_JACCARD_ORACLE}),"
+        "\n    e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs)"
+    )
+    for r in range(_KCORE_ROUNDS):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM e{r}
+        UNION ALL SELECT doc_b FROM e{r}
+      ) GROUP BY doc_id HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.doc_a, e.doc_b FROM e{r} e
+      JOIN d{r} a ON e.doc_a = a.doc_id
+      JOIN d{r} b ON e.doc_b = b.doc_id
+    )"""
+    return f"""{sql}
+    SELECT doc_id, degree FROM (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM e{_KCORE_ROUNDS}
+        UNION ALL SELECT doc_b FROM e{_KCORE_ROUNDS}
+      ) GROUP BY doc_id
+    ) WHERE degree >= {_KCORE_K}
+    """
+
+
+@query("x_graph_kcore_peel", oracle=_kcore_oracle())
+def x_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k={k}, {r} rounds) over the near-dup graph (#75
+    cont.): repeatedly drop nodes with degree < k and the edges they
+    carried — the graph-densification step that isolates the tightly
+    interlinked duplicate clusters (a node surviving 2-core peeling has
+    at least two independent near-dup partners: template/boilerplate
+    families, not chance collisions).
+
+    Fixed-round unrolling keeps the whole computation ONE declarative
+    plan mirrored exactly by the oracle's chained CTEs; full peeling
+    iterates the same round to a fixpoint with the components-loop
+    discipline (dedup.py: localCheckpoint per round + scalar convergence
+    probe). Each round is degree-count + two semi-joins keyed on node
+    ids — thin shuffles, broadcastable degree tables at any corpus
+    size.""".format(k=_KCORE_K, r=_KCORE_ROUNDS)
+    edges = _sim_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges
+    for _ in range(_KCORE_ROUNDS):
+        # each round references the previous edge set THREE times (degree
+        # union + both semi-joins): without a per-round materialization
+        # the unrolled lineage grows ~3^rounds and re-executes the whole
+        # prefix per reference (measured 40 s -> ~3 s at sf0.01) — the
+        # same localCheckpoint-per-round discipline as the components
+        # loop in dedup.py.
+        e = e.localCheckpoint()
+        deg = (
+            e.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(e.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("degree"))
+            .filter(F.col("degree") >= _KCORE_K)
+            .select("doc_id")
+        )
+        e = (
+            e.join(F.broadcast(deg.withColumnRenamed("doc_id", "doc_a")), "doc_a")
+            .join(F.broadcast(deg.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+            .select("doc_a", "doc_b")
+        )
+    return (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(e.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= _KCORE_K)
+    )
