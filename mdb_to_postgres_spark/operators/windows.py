@@ -1017,3 +1017,48 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue").cast("double").alias("class_revenue"),
         F.min("l_partkey").alias("min_partkey"),
     )
+
+
+@query(
+    "win_sessionize_assign",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, {_EV_SEC} AS ts_sec,
+             LAG({_EV_SEC}) OVER (PARTITION BY user_id
+                                  ORDER BY {_EV_SEC}, event_id) AS prev_sec
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT)
+             AS session_seq
+    FROM seq
+    """,
+)
+def win_sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ASSIGNMENT (#54's transform face): each event
+    gets its user's running session number — new session when the gap to
+    the previous event exceeds 30 minutes. stream_session_window
+    aggregates per session; this emits the labeling itself, the column
+    every sessionized metric joins back through (and the batch
+    equivalent of what session_window assigns internally).
+
+    The classic two-window composition on ONE per-user sort: a LAG finds
+    the gap breaks, a running SUM of break flags numbers the sessions —
+    Spark executes both frames in a single WindowExec over the shared
+    (user_id; ts, id) ordering, so the whole transform costs one shuffle
+    + one sort, shared with every other per-user pass at 100 TB."""
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = ev.select("event_id", "user_id", "ts_sec").withColumn(
+        "prev_sec", F.lag("ts_sec").over(w)
+    )
+    brk = F.when(
+        F.col("prev_sec").isNull() | (F.col("ts_sec") - F.col("prev_sec") > 1800), 1
+    ).otherwise(0)
+    return seq.select(
+        "event_id",
+        "user_id",
+        F.sum(brk).over(w).cast("bigint").alias("session_seq"),
+    )
