@@ -957,3 +957,90 @@ def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_users))
     )
+
+
+@query(
+    "etl_impute_missing",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 17 = 0 THEN NULL
+                  ELSE CAST(value AS DECIMAL(18,2)) END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, v AS fill_value FROM (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM masked WHERE v IS NOT NULL
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT m.event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           d.fill_value,
+           CAST(SUM(COALESCE(m.v, CAST(d.fill_value AS DECIMAL(18,2)))) AS DOUBLE)
+             AS value_sum_after
+    FROM masked m JOIN med d ON m.event_type = d.event_type
+    GROUP BY m.event_type, d.fill_value
+    """,
+)
+def etl_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation (#12 cont.): NULLs (simulated here as a
+    deterministic 1-in-17 mask) filled with their group's median — the
+    data-repair step between null_normalize (which CREATES the NULLs
+    from sentinels) and any numeric modeling, reported with per-group
+    imputation counts and a post-fill checksum so the repair itself is
+    hash-audited, not just performed.
+
+    The fill is the group's lower (discrete) median — an actual
+    observed value picked by an explicit rank formula, exact in DECIMAL
+    on both engines (interpolating medians disagree cross-engine over
+    DECIMAL inputs; see the code comment) — broadcast back, one
+    COALESCE per row: the same broadcast-moments shape as the
+    outlier screens, two scans total, group-scalar shuffles only. At
+    100 TB the fill table is the persisted 'imputation model' scoring
+    any later batch."""
+    ev = tbl(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("value").cast("decimal(18,2)"))
+        .alias("v"),
+    )
+    from pyspark.sql.window import Window
+
+    # Lower (discrete) median via an explicit rank formula, NOT the
+    # engines' median(): over DECIMAL inputs Spark's percentile
+    # interpolates in double while DuckDB's median stays in the decimal
+    # domain — a 0.005 disagreement on even-count groups. The rank-picked
+    # value is an ACTUAL observation, exact in DECIMAL on both engines.
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        masked.filter(F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("v").alias("fill_value"))
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "fill_value")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_imputed"),
+            F.sum(
+                F.coalesce(F.col("v"), F.col("fill_value").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("value_sum_after"),
+        )
+        .select(
+            "event_type", "n_rows", "n_imputed", "fill_value", "value_sum_after"
+        )
+    )
