@@ -1448,3 +1448,78 @@ def x_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.min("score_ppb")), F.asc("phrase"))
         .limit(15)
     )
+
+
+@query(
+    "x_text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS tf FROM (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+      ) WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+      SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rnk FROM tf
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(LN(rnk) * 1000000) AS BIGINT) AS x,
+             CAST(FLOOR(LN(tf) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= 1000
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM m
+    """,
+)
+def x_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit (#65 cont.): the log-log regression slope of term
+    frequency against frequency rank — natural-language corpora sit near
+    -1; a flat slope is the signature of synthetic/templated text, so
+    this is a one-number corpus-authenticity screen beside the
+    quality/entropy gates.
+
+    Log points are FLOOR-scaled to exact 1e6-integers (floor is
+    deterministic where ROUND's cross-engine target-digit behavior is
+    not — the EWMA lesson), so the regression moments are exact BIGINT
+    sums at any parallelism (scale cancels in the slope ratio) and the
+    slope is one final divide. Vocab-sized workload after the tf
+    aggregate; top-1000 ranks bound the quadratic-free closed form."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_TOKS()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term")))
+    ).filter(F.col("rnk") <= 1000)
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("tf").cast("double")) * 1000000).cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n = F.col("n")
+    return m.select(
+        "n",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("zipf_slope"),
+    )

@@ -1344,3 +1344,73 @@ def agg_linear_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix, still one scan."""
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(f"WITH m AS ({_MLR_MOMENTS})\n{_MLR_FINAL}")
+
+
+@query(
+    "agg_chisq_independence",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    cx AS (SELECT lang, COUNT(*) AS c_x FROM documents GROUP BY lang),
+    cy AS (SELECT source, COUNT(*) AS c_y FROM documents GROUP BY source),
+    cxy AS (SELECT lang, source, COUNT(*) AS c_xy FROM documents GROUP BY lang, source),
+    grid AS (
+      SELECT cx.lang, cy.source, cx.c_x, cy.c_y,
+             COALESCE(cxy.c_xy, 0) AS o
+      FROM cx CROSS JOIN cy
+      LEFT JOIN cxy ON cxy.lang = cx.lang AND cxy.source = cy.source
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               (o - CAST(c_x AS DOUBLE) * c_y / n.n)
+               * (o - CAST(c_x AS DOUBLE) * c_y / n.n)
+               / (CAST(c_x AS DOUBLE) * c_y / n.n), 12) AS DECIMAL(28,15)) AS t
+      FROM grid CROSS JOIN n
+    ),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM cx) AS r, (SELECT COUNT(*) FROM cy) AS c
+    )
+    SELECT CAST(SUM(t) AS DOUBLE) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof
+    FROM terms, dims
+    GROUP BY r, c
+    """,
+)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for lang x source (#32
+    cont.) — the classical contingency test beside agg_mutual_information
+    (MI measures the dependence in nats; chi-square scales it into the
+    test statistic whose null distribution is known, dof = (r-1)(c-1)).
+    The full r x c grid INCLUDING empty cells enters the sum — dropping
+    zero-observation cells understates the statistic, so the grid comes
+    from a cross join of the margins, outer-joined to the counts.
+
+    Determinism: each cell's (O-E)^2/E is ROUNDed then accumulated as
+    exact DECIMAL (order-free, the MI discipline); expected counts are a
+    fixed sequence of IEEE ops over exact integers. Three thin count
+    aggregates + an r x c-row epilogue at any corpus size."""
+    d = T(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n"))
+    cx = d.groupBy("lang").agg(F.count("*").alias("c_x"))
+    cy = d.groupBy("source").agg(F.count("*").alias("c_y"))
+    cxy = d.groupBy("lang", "source").agg(F.count("*").alias("c_xy"))
+    grid = (
+        cx.crossJoin(F.broadcast(cy))
+        .join(cxy, ["lang", "source"], "left")
+        .select(
+            "c_x", "c_y", F.coalesce(F.col("c_xy"), F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("c_x").cast("double") * F.col("c_y") / F.col("n")
+    terms = grid.crossJoin(F.broadcast(n)).select(
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 12)
+        .cast("decimal(28,15)")
+        .alias("t")
+    )
+    dims = cx.agg(F.count("*").alias("r")).crossJoin(
+        F.broadcast(cy.agg(F.count("*").alias("c")))
+    )
+    return (
+        terms.agg(F.sum("t").cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+        .select("chi2", ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"))
+    )

@@ -1062,3 +1062,72 @@ def win_sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(brk).over(w).cast("bigint").alias("session_seq"),
     )
+
+
+@query(
+    "win_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, {_EV_SEC} // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY event_type, {_EV_SEC} // 86400
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    stat AS (
+      SELECT p.event_type,
+             CAST(SUM(p.sgn) AS BIGINT) AS s,
+             (SELECT COUNT(*) FROM daily d WHERE d.event_type = p.event_type) AS n
+      FROM pairs p GROUP BY p.event_type
+    )
+    SELECT event_type, n, s,
+           CASE WHEN s > 0 THEN (s - 1) ELSE (s + 1) END
+             / SQRT(n * (n - 1.0) * (2 * n + 5) / 18) AS z_stat
+    FROM stat
+    """,
+)
+def win_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type (#36 cont.): the
+    nonparametric is-this-series-drifting statistic — S = sum of signs
+    over all ordered day pairs, z-scored with the exact no-ties variance
+    n(n-1)(2n+5)/18 — monitoring's distribution-free alternative to
+    fitting a slope (|z| > 1.96 flags a trend at 5%).
+
+    The O(n^2) pair enumeration is computed AFTER aggregating to daily
+    totals: ~30 points per series makes ~435 pairs per type no matter
+    how many raw events fed each day (pre-aggregate THEN test — the
+    pattern that makes quadratic statistics tractable at any scale). S
+    accumulates as exact integers over exact-DECIMAL daily sums; the
+    continuity-corrected z is a fixed IEEE epilogue."""
+    ev = events_ts(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_sec div 86400").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    a = daily.select("event_type", F.col("day").alias("day_a"), F.col("v").alias("va"))
+    b = daily.select("event_type", F.col("day").alias("day_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    n_tbl = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    stat = (
+        pairs.groupBy("event_type")
+        .agg(F.sum("sgn").cast("bigint").alias("s"))
+        .join(F.broadcast(n_tbl), "event_type")
+    )
+    s, n = F.col("s"), F.col("n")
+    z = F.when(s > 0, s - 1).otherwise(s + 1) / F.sqrt(
+        n * (n - F.lit(1.0)) * (2 * n + 5) / 18
+    )
+    return stat.select("event_type", "n", "s", z.alias("z_stat"))
