@@ -190,3 +190,61 @@ def test_twophase_rank_deterministic_and_dense(spark):
     assert a.c_acctbal.is_monotonic_decreasing or (
         sorted(a.c_acctbal, reverse=True) == list(a.c_acctbal)
     )
+
+
+def test_mann_kendall_statistic_bounds(spark):
+    out = QUERIES["win_mann_kendall_trend"](spark, ORACLE_SF).toPandas()
+    assert len(out) > 0
+    # S is bounded by the number of pairs n(n-1)/2
+    assert (out.s.abs() <= out.n * (out.n - 1) / 2).all()
+    assert out.z_stat.notna().all()
+
+
+def test_chisq_grid_and_dof(spark):
+    r = QUERIES["agg_chisq_independence"](spark, ORACLE_SF).toPandas().iloc[0]
+    assert r.chi2 >= 0
+    docs = pd.read_parquet(f"{ORACLE_SF}/documents.parquet")
+    assert r.dof == (docs.lang.nunique() - 1) * (docs.source.nunique() - 1)
+
+
+def test_zipf_slope_negative(spark):
+    r = QUERIES["x_text_zipf_fit"](spark, ORACLE_SF).toPandas().iloc[0]
+    # frequency decreases with rank: the fitted slope must be negative
+    assert r.zipf_slope < 0
+    assert r.n > 10
+
+
+def test_impute_counts_match_mask(spark):
+    out = QUERIES["etl_impute_missing"](spark, ORACLE_SF).toPandas()
+    ev = pd.read_parquet(f"{ORACLE_SF}/events.parquet")
+    ev["masked"] = ev.event_id % 17 == 0
+    want = ev.groupby("event_type").masked.sum().sort_index()
+    got = out.set_index("event_type").n_imputed.sort_index()
+    assert (got.values == want.values).all() and list(got.index) == list(want.index)
+    # fill values are actual observations from the unmasked data
+    for r in out.itertuples():
+        vals = ev[(ev.event_type == r.event_type) & ~ev.masked].value.round(2)
+        assert float(r.fill_value) in set(vals)
+
+
+def test_sessionize_monotone_per_user(spark):
+    out = QUERIES["win_sessionize_assign"](spark, ORACLE_SF).toPandas()
+    ev = pd.read_parquet(f"{ORACLE_SF}/events.parquet")
+    assert len(out) == len(ev)
+    assert (out.session_seq >= 1).all()
+    m = out.merge(ev[["event_id", "ts"]], on="event_id")
+    for _, g in list(m.groupby("user_id"))[:20]:
+        g = g.sort_values(["ts", "event_id"])
+        assert g.session_seq.is_monotonic_increasing
+
+
+def test_kcore_nodes_have_min_degree(spark):
+    out = QUERIES["x_graph_kcore_peel"](spark, ORACLE_SF).toPandas()
+    from mdb_to_postgres_spark.extensions.graph import _KCORE_K
+
+    if len(out):
+        assert (out.degree >= _KCORE_K).all()
+    # peeled nodes are a subset of the near-dup graph's nodes
+    pairs = QUERIES["x_dedup_near_jaccard"](spark, ORACLE_SF).toPandas()
+    nodes = set(pairs.doc_a) | set(pairs.doc_b)
+    assert set(out.doc_id) <= nodes
