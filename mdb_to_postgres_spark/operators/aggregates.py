@@ -1414,3 +1414,80 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dims))
         .select("chi2", ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"))
     )
+
+
+@query(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DECIMAL(18,2)) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS g2
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    pv AS (
+      SELECT v, CAST(SUM(g1) AS BIGINT) AS n1_v, CAST(SUM(g2) AS BIGINT) AS n2_v
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT SUM(n1_v) OVER (ORDER BY v) AS c1,
+             SUM(n2_v) OVER (ORDER BY v) AS c2
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(SUM(n1_v) AS BIGINT) AS n1, CAST(SUM(n2_v) AS BIGINT) AS n2 FROM pv
+    )
+    SELECT n1, n2,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2) AS ks_d
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance (#32 cont.): the maximum
+    ECDF gap between two groups' value distributions — the standard
+    drift detector between a training corpus and an incoming batch
+    (x_corpus_drift counts membership churn; KS detects DISTRIBUTION
+    churn on a numeric column).
+
+    Exact throughout: the ECDF comparison is scaled to integers
+    (|c1*n2 - c2*n1| over the common denominator n1*n2), so the MAX is
+    over exact BIGINTs — no float ECDF subtraction anywhere — and the
+    reported D is one final divide. Shape: per-value counts (two-phase
+    agg), one ordered prefix-sum over DISTINCT values (range-partitioned
+    sort at scale; the distinct-value table is already far smaller than
+    the data), and a scalar max."""
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
+    s = ev.select(
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("n1_v"), F.sum("g2").cast("bigint").alias("n2_v")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pv.select(
+        F.sum("n1_v").over(w).alias("c1"), F.sum("n2_v").over(w).alias("c2")
+    )
+    tot = pv.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"), F.sum("n2_v").cast("bigint").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("d_scaled")
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            (F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
+        )
+    )

@@ -1044,3 +1044,63 @@ def etl_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_rows", "n_imputed", "fill_value", "value_sum_after"
         )
     )
+
+
+@query(
+    "etl_date_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1998-01-01', DATE '1998-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    daily AS (
+      SELECT l_shipdate AS day, COUNT(*) AS shipments,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '1998-01-01' AND DATE '1998-03-31'
+      GROUP BY l_shipdate
+    )
+    SELECT s.day,
+           COALESCE(d.shipments, 0) AS shipments,
+           CAST(COALESCE(d.qty, 0) AS DOUBLE) AS qty,
+           d.shipments IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + zero-fill (#93 cont.): a complete
+    daily axis generated from NOTHING (sequence of dates), left-joined
+    to the fact rollup so absent days appear as explicit zero rows with
+    a gap flag — the date-dimension build that every time-series
+    report/forecast needs BEFORE any window arithmetic (win_gap_fill
+    resamples an existing axis; this manufactures the axis itself, and
+    is how sparse 100 TB facts become dense bounded series).
+
+    The spine is a generator expression (sequence + explode — 90 rows
+    here, never corpus-sized), broadcast against the pre-aggregated
+    daily rollup; the fact is touched once with the date predicate
+    pushed to the scan."""
+    li = tbl(spark, sf_dir, "lineitem")
+    lo, hi = F.lit("1998-01-01").cast("date"), F.lit("1998-03-31").cast("date")
+    spine = spark.range(1).select(
+        F.explode(F.expr("sequence(DATE'1998-01-01', DATE'1998-03-31', interval 1 day)")).alias(
+            "day"
+        )
+    )
+    daily = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+        .groupBy(F.col("l_shipdate").alias("day"))
+        .agg(
+            F.count("*").alias("shipments"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("shipments"), F.lit(0)).alias("shipments"),
+            F.coalesce(F.col("qty"), F.lit(0)).cast("double").alias("qty"),
+            F.col("shipments").isNull().alias("is_gap"),
+        )
+    )
