@@ -1523,3 +1523,70 @@ def x_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "x_text_burstiness",
+    oracle="""
+    WITH dc AS (
+      SELECT doc_id, term, COUNT(*) AS x FROM (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+      ) WHERE term <> '' GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    t AS (
+      SELECT term,
+             CAST(SUM(x) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM dc GROUP BY term
+    )
+    SELECT term, total, df,
+           CAST(n.n_docs * sxx - total * total AS DOUBLE)
+             / (CAST(n.n_docs AS DOUBLE) * total) AS vmr
+    FROM t CROSS JOIN n
+    WHERE total >= 50
+    """,
+)
+def x_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (#63 cont.): the variance-to-mean ratio of each
+    term's per-document counts (zeros included via the N-normalized
+    identity) — near 1 means Poisson scatter (function words), well
+    above 1 means the term clumps into few documents (topical/entity
+    words). The corpus-linguistics statistic behind stopword induction
+    and keyword weighting, complementing TF-IDF's document-frequency
+    view with WITHIN-document clumping.
+
+    VMR = (N*Σx² - (Σx)²) / (N*Σx): numerator and denominator are exact
+    BIGINTs from one (doc, term) aggregate — per-doc zero cells never
+    materialize (their contribution is algebraically folded into N), so
+    the dense N x vocab grid is never built. One explode + two thin
+    aggregates; min-support 50 bounds the output to stable terms."""
+    d = T(spark, sf_dir, "documents")
+    dc = (
+        d.select("doc_id", F.explode(_TOKS()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("x"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    t = dc.groupBy("term").agg(
+        F.sum("x").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        t.crossJoin(F.broadcast(n))
+        .filter(F.col("total") >= 50)
+        .select(
+            "term",
+            "total",
+            "df",
+            (
+                (F.col("n_docs") * F.col("sxx") - F.col("total") * F.col("total")).cast(
+                    "double"
+                )
+                / (F.col("n_docs").cast("double") * F.col("total"))
+            ).alias("vmr"),
+        )
+    )

@@ -1491,3 +1491,57 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
         )
     )
+
+
+_WELCH_SQL = """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+        MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+        MAX(CASE WHEN event_type = 'error' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'error' THEN sx END) AS sx2,
+        MAX(CASE WHEN event_type = 'error' THEN sxx END) AS sxx2
+      FROM m
+    )
+    SELECT n1, n2,
+           (sx1 / n1 - sx2 / n2)
+             / SQRT((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+                    + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) AS t_stat,
+           ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+            + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+           * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+              + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+             / ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+                * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+                + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2
+                  * ((sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) / (n2 - 1)) AS welch_df
+    FROM w
+    """
+
+
+@query("agg_welch_t_test", oracle=_WELCH_SQL)
+def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups' means (#32
+    cont.) — the mean-shift companion to agg_ks_two_sample's
+    distribution-shape test, with the Welch-Satterthwaite effective df
+    (never the pooled-variance Student form, whose equal-variance
+    assumption real pipelines can't certify).
+
+    One aggregation pass yields both groups' exact-DECIMAL moments
+    (pivoted to a single row by conditional MAX); t and df are a fixed
+    IEEE epilogue over those six numbers — ONE SQL text executed by both
+    engines (the agg_corr_exact discipline), so even this deeply-nested
+    float formula hash-matches. Statistical testing at 100 TB is always
+    this shape: moments distributed, algebra on the driver-sized
+    result."""
+    T(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_WELCH_SQL)

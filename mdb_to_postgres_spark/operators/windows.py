@@ -1131,3 +1131,82 @@ def win_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * (n - F.lit(1.0)) * (2 * n + 5) / 18
     )
     return stat.select("event_type", "n", "s", z.alias("z_stat"))
+
+
+@query(
+    "win_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, {_EV_SEC} // 86400 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY event_type, {_EV_SEC} // 86400
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS total, COUNT(*) AS n
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, t.n, t.total,
+             CAST(SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ),
+    dev AS (
+      SELECT event_type, day, n,
+             ABS(n * c - i * total) AS dev_scaled
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN dev_scaled = mx THEN day END) AS BIGINT) AS change_day,
+           CAST(mx AS DOUBLE) / (n * 100.0) AS cusum_peak
+    FROM (SELECT event_type, day, n, dev_scaled,
+                 MAX(dev_scaled) OVER (PARTITION BY event_type) AS mx
+          FROM dev)
+    GROUP BY event_type, mx, n
+    """,
+)
+def win_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per series (#36 cont.): the running
+    sum of deviations from the series mean peaks AT the change point —
+    where Mann-Kendall answers 'is there a drift?', CUSUM answers
+    'WHEN did the level shift?' (the argmax day is the binary-
+    segmentation split a full changepoint search would recurse on).
+
+    Exactness: daily totals go to integer cents; the deviation
+    |S_t| = |prefix_t - t*mean| is scaled by n to |n*prefix_t -
+    t*total| — all BIGINT, so the peak and its argmax day (min-day
+    tie-break) are bit-deterministic with no float mean subtraction.
+    One daily pre-aggregation, one per-series prefix window, a scalar
+    max — the same pre-aggregate-then-analyze shape as the trend
+    test."""
+    ev = events_ts(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.expr("ts_sec div 86400").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint").alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("total"), F.count("*").alias("n")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("c", F.sum("x").over(wo).cast("bigint"))
+        .withColumn("i", F.row_number().over(wo))
+    )
+    dev = cum.select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(F.col("n") * F.col("c") - F.col("i") * F.col("total")).alias("dev_scaled"),
+    )
+    mx = dev.withColumn(
+        "mx", F.max("dev_scaled").over(Window.partitionBy("event_type"))
+    )
+    return mx.groupBy("event_type", "mx", "n").agg(
+        F.min(F.when(F.col("dev_scaled") == F.col("mx"), F.col("day")))
+        .cast("bigint")
+        .alias("change_day"),
+    ).select(
+        "event_type",
+        "change_day",
+        (F.col("mx").cast("double") / (F.col("n") * 100.0)).alias("cusum_peak"),
+    )
