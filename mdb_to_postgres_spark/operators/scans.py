@@ -979,7 +979,7 @@ def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.event_type,
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
-           d.fill_value,
+           CAST(d.fill_value AS DOUBLE) AS fill_value,
            CAST(SUM(COALESCE(m.v, CAST(d.fill_value AS DECIMAL(18,2)))) AS DOUBLE)
              AS value_sum_after
     FROM masked m JOIN med d ON m.event_type = d.event_type
@@ -1041,7 +1041,13 @@ def etl_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_sum_after"),
         )
         .select(
-            "event_type", "n_rows", "n_imputed", "fill_value", "value_sum_after"
+            "event_type",
+            "n_rows",
+            "n_imputed",
+            # double for the report column (2-decimal values are exact in
+            # double; Decimal objects trip strict pandas comparators)
+            F.col("fill_value").cast("double").alias("fill_value"),
+            "value_sum_after",
         )
     )
 
@@ -1060,7 +1066,7 @@ def etl_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate BETWEEN DATE '1998-01-01' AND DATE '1998-03-31'
       GROUP BY l_shipdate
     )
-    SELECT s.day,
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
            COALESCE(d.shipments, 0) AS shipments,
            CAST(COALESCE(d.qty, 0) AS DOUBLE) AS qty,
            d.shipments IS NULL AS is_gap
@@ -1098,7 +1104,11 @@ def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(daily, "day", "left")
         .select(
-            "day",
+            # ISO string axis: DuckDB's generate_series dates surface as
+            # timestamps in pandas while Spark DATEs stay dates — a
+            # dtype-normalization trap for strict comparators; a string
+            # axis is unambiguous on every consumer
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce(F.col("shipments"), F.lit(0)).alias("shipments"),
             F.coalesce(F.col("qty"), F.lit(0)).cast("double").alias("qty"),
             F.col("shipments").isNull().alias("is_gap"),
