@@ -1210,3 +1210,127 @@ def win_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_day",
         (F.col("mx").cast("double") / (F.col("n") * 100.0)).alias("cusum_peak"),
     )
+
+
+@query(
+    "win_seasonal_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, ({_EV_SEC} // 86400 + 4) % 7 AS dow,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow,
+           COUNT(*) AS cnt,
+           CAST(SUM(d.v) AS DOUBLE) / COUNT(*) AS mean_value,
+           CAST(COUNT(*) AS DOUBLE) / t.total AS dow_share
+    FROM d JOIN t ON d.event_type = t.event_type
+    GROUP BY d.event_type, d.dow, t.total
+    """,
+)
+def win_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type (#36 cont.): traffic
+    share and mean value by weekday (epoch-day + 4 mod 7 pins Thursday
+    = 0 ... the classic epoch alignment, identical arithmetic both
+    engines) — the seasonality baseline that rate-alerting and forecast
+    residuals normalize against before any anomaly call (a Monday spike
+    is only a spike relative to Mondays).
+
+    One grouped pass for the 7 x types profile plus a per-type total
+    broadcast back for shares; exact DECIMAL sums, one divide per cell.
+    The profile table (7 x types rows) is what production materializes
+    and joins against live windows."""
+    ev = events_ts(spark, sf_dir)
+    d = ev.select(
+        "event_type",
+        ((F.expr("ts_sec div 86400") + 4) % 7).alias("dow"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    t = d.groupBy("event_type").agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        d.groupBy("event_type", "dow")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum("v").cast("double") / F.count("*")).alias("mean_value"),
+        )
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "cnt",
+            "mean_value",
+            (F.col("cnt").cast("double") / F.col("total")).alias("dow_share"),
+        )
+    )
+
+
+@query(
+    "win_rolling_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, {_EV_SEC} // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY event_type, {_EV_SEC} // 86400
+    ),
+    roll AS (
+      SELECT event_type, day, x,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CAST(x AS DOUBLE) AS x,
+           (CAST(x AS DOUBLE) - sx / n)
+             / SQRT((sxx - sx * sx / n) / (n - 1)) AS roll_z,
+           ABS(CAST(x AS DOUBLE) - sx / n)
+             > 2.0 * SQRT((sxx - sx * sx / n) / (n - 1)) AS is_anomaly
+    FROM roll WHERE n >= 7
+    """,
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score anomaly flag per series (#36 cont.): each
+    day scored against its OWN trailing week's mean/std — the local
+    anomaly detector between the global screens (agg_outlier_zscore/
+    _mad, whole-history baselines) and the streaming rate alert (count
+    based): level shifts age INTO the baseline instead of flagging
+    forever, and the warm-up window (n < 7) is excluded rather than
+    scored against itself.
+
+    Rolling moments are exact DECIMAL sums over an explicit ROWS frame
+    (one per-series sort shared by both frames); the z epilogue is the
+    agg_corr_exact fixed IEEE sequence, textually shared with the
+    oracle. Daily pre-aggregation first: the window runs over ~30 rows
+    per series no matter the event rate."""
+    ev = events_ts(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.expr("ts_sec div 86400").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    roll = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+    ).filter(F.col("n") >= 7)
+    xd = F.col("x").cast("double")
+    mean = F.col("sx") / F.col("n")
+    sd = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    return roll.select(
+        "event_type",
+        "day",
+        xd.alias("x"),
+        ((xd - mean) / sd).alias("roll_z"),
+        (F.abs(xd - mean) > 2.0 * sd).alias("is_anomaly"),
+    )
