@@ -1545,3 +1545,60 @@ def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     result."""
     T(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_WELCH_SQL)
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_suppliers,
+             CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) AS DECIMAL(38,0)) AS sum_sq,
+             CAST(SUM(r) AS BIGINT) AS total
+      FROM rev
+    )
+    SELECT n_suppliers,
+           CAST(sum_sq AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
+           1.0 / n_suppliers AS hhi_floor
+    FROM agg
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of revenue by supplier
+    (#32 cont.): the sum of squared market shares — the
+    concentration-of-mass statistic (antitrust's, and a data pipeline's
+    'is one source dominating the corpus' screen beside the Gini of
+    agg_key_skew_profile: HHI weights the head, Gini the whole curve;
+    hhi_floor = 1/n is the perfectly-even reference).
+
+    Share squaring never happens in floats: per-supplier revenue goes to
+    integer cents, the squared sum accumulates as exact DECIMAL(38,0)
+    (cent-squared units; DuckDB's 128-bit integer sum matches), and HHI
+    = sum_sq / total^2 is a fixed two-multiply-one-divide IEEE epilogue.
+    One two-phase aggregate over suppliers, then a 1-row epilogue."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("r")
+    )
+    agg = rev.agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+        F.sum("r").cast("bigint").alias("total"),
+    )
+    return agg.select(
+        "n_suppliers",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+        (F.lit(1.0) / F.col("n_suppliers")).alias("hhi_floor"),
+    )
