@@ -1324,3 +1324,60 @@ def x_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_neighbor").cast("bigint").alias("kept"),
         (F.count("t_neighbor").cast("double") / 5).alias("recall_at_5"),
     )
+
+
+def _div_pair_cos() -> str:
+    """Unrolled exact cosine between paired rows (a.*, b.*) — shared
+    term order both engines (see _mrl_terms)."""
+    return (
+        f"({_mrl_terms('a.embedding', 'b.embedding', DIM, 1)})"
+        f" / (({_mrl_norm('a.embedding', DIM, 1)}) * ({_mrl_norm('b.embedding', DIM, 1)}))"
+    )
+
+
+@query(
+    "x_sim_corpus_diversity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT CAST(ROUND({_div_pair_cos()}, 12) AS DECIMAL(28,15)) AS c
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_cosine,
+           CAST(MAX(c) AS DOUBLE) AS max_cosine,
+           CAST(MIN(c) AS DOUBLE) AS min_cosine
+    FROM pairs
+    """,
+)
+def x_sim_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding-diversity probe (#61 cont.): mean pairwise cosine
+    over a deterministic even/odd row pairing — the one-number mode-
+    collapse / redundancy screen a mixture designer reads per source
+    before weighting it (a source whose random pairs average cosine 0.9
+    is near-duplicate mass; ~0 is diverse). The fixed pairing IS the
+    sample: n/2 pairs, reproducible, no RNG, and at 100 TB the same
+    probe runs per-source on the md5-band sample.
+
+    Exactness: each pair's cosine is the unrolled shared-term-order
+    expression (bit-identical both engines), ROUNDed then accumulated
+    as DECIMAL (order-free — the MI discipline), one divide for the
+    mean. The pair join is a self-join on vec_id+1: co-partitioned,
+    thin, linear."""
+    e = T(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).alias("a")
+    b = e.alias("b")
+    cos = F.expr(
+        f"({_mrl_terms('a.embedding', 'b.embedding', DIM, 0)})"
+        f" / (({_mrl_norm('a.embedding', DIM, 0)}) * ({_mrl_norm('b.embedding', DIM, 0)}))"
+    )
+    pairs = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(F.round(cos, 12).cast("decimal(28,15)").alias("c"))
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum("c").cast("double") / F.count("*")).alias("mean_cosine"),
+        F.max("c").cast("double").alias("max_cosine"),
+        F.min("c").cast("double").alias("min_cosine"),
+    )
