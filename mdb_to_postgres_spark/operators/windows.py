@@ -1334,3 +1334,85 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((xd - mean) / sd).alias("roll_z"),
         (F.abs(xd - mean) > 2.0 * sd).alias("is_anomaly"),
     )
+
+
+@query(
+    "win_conversion_lag",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN({_EV_SEC}) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN({_EV_SEC}) AS t_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND {_EV_SEC} >= v.t_view
+      GROUP BY e.user_id
+    ),
+    lag_tbl AS (
+      SELECT p.user_id, p.t_purchase - v.t_view AS lag_sec
+      FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    n AS (SELECT COUNT(*) AS n_conv FROM lag_tbl),
+    b AS (
+      SELECT CASE WHEN lag_sec < 3600 THEN 0
+                  WHEN lag_sec < 21600 THEN 1
+                  WHEN lag_sec < 86400 THEN 2
+                  WHEN lag_sec < 259200 THEN 3
+                  ELSE 4 END AS lag_bucket
+      FROM lag_tbl
+    )
+    SELECT lag_bucket, COUNT(*) AS conversions,
+           CAST(COUNT(*) AS DOUBLE) / n.n_conv AS share
+    FROM b CROSS JOIN n
+    GROUP BY lag_bucket, n.n_conv
+    """,
+)
+def win_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution (#92 cont.): time from each user's
+    first view to their first subsequent purchase, bucketed (<1h, <6h,
+    <1d, <3d, more) with conversion shares — the 'how long does the
+    funnel take' histogram that sets attribution windows (the 1h cap in
+    win_attribution_last_touch comes from reading exactly this curve)
+    and retargeting schedules.
+
+    Same per-user MIN-chain as win_funnel (every shuffle keys on
+    user_id, stages co-partition), then the lag histogram is integer
+    bucketing over one row per converting user — the fixed-bucket CASE
+    ladder of agg_histogram_bins, with shares as one divide against the
+    broadcast total."""
+    ev = events_ts(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_purchase"))
+    )
+    lag = p.join(v, "user_id").select(
+        (F.col("t_purchase") - F.col("t_view")).alias("lag_sec")
+    )
+    n = lag.agg(F.count("*").alias("n_conv"))
+    bucket = (
+        F.when(F.col("lag_sec") < 3600, 0)
+        .when(F.col("lag_sec") < 21600, 1)
+        .when(F.col("lag_sec") < 86400, 2)
+        .when(F.col("lag_sec") < 259200, 3)
+        .otherwise(4)
+    )
+    return (
+        lag.select(bucket.alias("lag_bucket"))
+        .groupBy("lag_bucket")
+        .agg(F.count("*").alias("conversions"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lag_bucket",
+            "conversions",
+            (F.col("conversions").cast("double") / F.col("n_conv")).alias("share"),
+        )
+    )
