@@ -210,3 +210,69 @@ def x_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_scaled",
         (F.col("dcg_scaled").cast("double") / F.col("idcg_scaled")).alias("ndcg_at_10"),
     )
+
+
+@query(
+    "x_eval_regression_report",
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(embedding[5] AS DOUBLE) AS y,
+             CAST(embedding[6] AS DOUBLE) AS yhat
+      FROM embeddings
+    ),
+    terms AS (
+      SELECT y, yhat,
+             CAST(ROUND(ABS(y - yhat), 12) AS DECIMAL(28,15)) AS ae,
+             CAST(ROUND((y - yhat) * (y - yhat), 12) AS DECIMAL(28,15)) AS se,
+             CAST(ROUND(y, 12) AS DECIMAL(28,15)) AS yd,
+             CAST(ROUND(y * y, 12) AS DECIMAL(28,15)) AS yy
+      FROM pv
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(ae) AS DOUBLE) / COUNT(*) AS mae,
+           SQRT(CAST(SUM(se) AS DOUBLE) / COUNT(*)) AS rmse,
+           1.0 - CAST(SUM(se) AS DOUBLE)
+             / (CAST(SUM(yy) AS DOUBLE)
+                - CAST(SUM(yd) AS DOUBLE) * CAST(SUM(yd) AS DOUBLE) / COUNT(*)) AS r2
+    FROM terms
+    """,
+)
+def x_eval_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-eval report (#62 cont.): MAE / RMSE / R² between a
+    prediction column and its target — completing the eval triad
+    beside classification (x_eval_classifier_report / AUC) and ranking
+    (NDCG); here target and prediction are two fixed embedding
+    components standing in for (label, model output).
+
+    Absolute/squared errors are per-row ROUNDed then accumulated as
+    exact DECIMAL (the MI discipline: float partial-sum order never
+    reaches the metric), R² is the centered-moment identity over the
+    same decimal sums, and RMSE/R² finish as fixed IEEE epilogues. One
+    scan, map-side partials, 1-row output at any corpus size."""
+    e = T(spark, sf_dir, "embeddings")
+    pv = e.select(
+        F.element_at("embedding", 5).cast("double").alias("y"),
+        F.element_at("embedding", 6).cast("double").alias("yhat"),
+    )
+    terms = pv.select(
+        F.round(F.abs(F.col("y") - F.col("yhat")), 12).cast("decimal(28,15)").alias("ae"),
+        F.round((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat")), 12)
+        .cast("decimal(28,15)")
+        .alias("se"),
+        F.round(F.col("y"), 12).cast("decimal(28,15)").alias("yd"),
+        F.round(F.col("y") * F.col("y"), 12).cast("decimal(28,15)").alias("yy"),
+    )
+    n = F.count("*")
+    return terms.agg(
+        n.alias("n"),
+        (F.sum("ae").cast("double") / n).alias("mae"),
+        F.sqrt(F.sum("se").cast("double") / n).alias("rmse"),
+        (
+            F.lit(1.0)
+            - F.sum("se").cast("double")
+            / (
+                F.sum("yy").cast("double")
+                - F.sum("yd").cast("double") * F.sum("yd").cast("double") / n
+            )
+        ).alias("r2"),
+    )
