@@ -993,3 +993,63 @@ def x_mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("epoch").orderBy(key)),
     )
     return ordered.filter(F.col("position") <= 25).select("epoch", "position", "doc_id")
+
+
+_MIX_ALPHA = 0.75  # mixture temperature: share^alpha flattens the head
+
+
+@query(
+    "x_mix_source_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS docs FROM documents GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(docs) AS BIGINT) AS total FROM s),
+    p AS (
+      SELECT source, docs,
+             CAST(ROUND(POW(CAST(docs AS DOUBLE) / n.total, {_MIX_ALPHA}), 12)
+                  AS DECIMAL(28,15)) AS pw
+      FROM s CROSS JOIN n
+    ),
+    z AS (SELECT CAST(SUM(pw) AS DOUBLE) AS norm FROM p)
+    SELECT p.source, p.docs,
+           CAST(p.pw AS DOUBLE) / z.norm AS mix_weight,
+           (CAST(p.pw AS DOUBLE) / z.norm)
+             / (CAST(p.docs AS DOUBLE) / n.total) AS upsample_factor
+    FROM p CROSS JOIN z CROSS JOIN n
+    """,
+)
+def x_mix_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (#80 cont.): raw
+    corpus shares raised to alpha = {_MIX_ALPHA} and renormalized — the
+    standard training-mixture design that flattens dominant sources and
+    upsamples the tail without hand-tuned weights (alpha = 1 is
+    proportional, 0 is uniform); the emitted upsample_factor is what
+    x_mix_weighted_repeat consumes as its repeat count.
+
+    The one transcendental (pow) is applied to a few-rows-per-source
+    table and ROUNDed then DECIMAL-summed for the normalizer, so the
+    weights are deterministic cross-engine; everything before is exact
+    integer counting. At 100 TB this query costs one count per source —
+    the mixture table is metadata."""
+    d = T(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("docs"))
+    n = s.agg(F.sum("docs").cast("bigint").alias("total"))
+    p = s.crossJoin(F.broadcast(n)).select(
+        "source",
+        "docs",
+        "total",
+        F.round(F.pow(F.col("docs").cast("double") / F.col("total"), _MIX_ALPHA), 12)
+        .cast("decimal(28,15)")
+        .alias("pw"),
+    )
+    z = p.agg(F.sum("pw").cast("double").alias("norm"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "docs",
+        (F.col("pw").cast("double") / F.col("norm")).alias("mix_weight"),
+        (
+            (F.col("pw").cast("double") / F.col("norm"))
+            / (F.col("docs").cast("double") / F.col("total"))
+        ).alias("upsample_factor"),
+    )

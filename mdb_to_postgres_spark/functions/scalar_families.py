@@ -481,3 +481,52 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("HOST")), r"([^.]+)[.][^.]+[.][^.]+$", 1
         ).alias("subdomain"),
     ).withColumn("subdomain", F.nullif(F.col("subdomain"), F.lit("")))
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 3) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE 'n/a' END AS BIGINT) AS safe_int,
+           strftime(TRY_CAST(o_orderdate_s AS DATE), '%Y-%m-%d') AS safe_date
+    FROM (SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+                      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS o_orderdate_s
+          FROM orders)
+    WHERE o_orderkey < 500
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family (#46 cont.): try_divide / try_cast —
+    NULL-on-failure arithmetic and parsing, the ANSI-mode-compatible
+    spelling every migrated permissive pipeline needs once strict mode
+    is on (divide-by-zero, bad numerics and bad dates become NULLs to
+    quarantine, not job failures — row-level fault tolerance at 100 TB
+    where one poison row must not kill a 6-hour job).
+
+    Every failure case is deterministic, synthesized from key
+    arithmetic (each kind exercised on a known row subset); DuckDB
+    spells try_divide as the guarded CASE (its / raises on zero like
+    ANSI Spark), TRY_CAST is common. Pure map-side projection."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    date_s = F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    int_s = F.when(
+        F.col("o_orderkey") % 2 == 0, F.col("o_orderkey").cast("string")
+    ).otherwise(F.lit("n/a"))
+    return o.select(
+        "o_orderkey",
+        F.expr("try_divide(CAST(o_totalprice AS DOUBLE), o_orderkey % 3)").alias(
+            "safe_div"
+        ),
+        int_s.try_cast("bigint").alias("safe_int"),
+        # re-serialized to ISO text: a DATE output column trips strict
+        # dtype comparators (date objects vs datetime64 — the spine
+        # lesson); the parse-succeeded/NULL signal is fully preserved
+        F.date_format(date_s.try_cast("date"), "yyyy-MM-dd").alias("safe_date"),
+    )
