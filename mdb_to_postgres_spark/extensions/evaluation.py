@@ -276,3 +276,74 @@ def x_eval_regression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+
+
+@query(
+    "x_eval_decile_lift",
+    oracle="""
+    WITH scored AS (
+      SELECT embedding[2] AS score, label % 2 AS y, vec_id FROM embeddings
+    ),
+    ranked AS (
+      SELECT y, NTILE(10) OVER (ORDER BY score DESC, vec_id) AS decile
+      FROM scored
+    ),
+    overall AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS tot_pos, COUNT(*) AS tot FROM ranked
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS positives,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS response_rate,
+           (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+             / (CAST(o.tot_pos AS DOUBLE) / o.tot) AS lift
+    FROM ranked CROSS JOIN overall o
+    GROUP BY decile, o.tot_pos, o.tot
+    """,
+)
+def x_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table (#62 cont.): population ranked by score into ten
+    equal bins, per-decile response rate against the overall base rate —
+    THE operating report for targeting/risk scores ('the top decile
+    converts at 2.3x base'), reading model value in business units where
+    AUC reads it in probability (same eval inputs as the AUC/report
+    queries, so the triad + lift all describe one model).
+
+    NTILE's equal-count binning is deterministic under the (score DESC,
+    vec_id) total order — both engines split remainders identically
+    (front-loaded) per the SQL standard; counts are exact integers and
+    rate/lift are single divides. Global rank = range-partitioned sort
+    at scale, as documented for AUC."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.element_at("embedding", 2).alias("score"),
+        (F.col("label") % 2).alias("y"),
+        "vec_id",
+    )
+    ranked = scored.select(
+        "y",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("vec_id"))).alias("decile"),
+    )
+    overall = ranked.agg(
+        F.sum("y").cast("bigint").alias("tot_pos"), F.count("*").alias("tot")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("bigint").alias("positives"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "decile",
+            "n",
+            "positives",
+            (F.col("positives").cast("double") / F.col("n")).alias("response_rate"),
+            (
+                (F.col("positives").cast("double") / F.col("n"))
+                / (F.col("tot_pos").cast("double") / F.col("tot"))
+            ).alias("lift"),
+        )
+    )
