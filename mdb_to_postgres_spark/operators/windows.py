@@ -1416,3 +1416,79 @@ def win_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("conversions").cast("double") / F.col("n_conv")).alias("share"),
         )
     )
+
+
+@query(
+    "win_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, {_EV_SEC} // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY event_type, {_EV_SEC} // 86400
+    ),
+    moves AS (
+      SELECT event_type, day,
+             CASE WHEN x > LAG(x) OVER w THEN 1
+                  WHEN x < LAG(x) OVER w THEN -1 END AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    seq AS (
+      SELECT event_type, s,
+             LAG(s) OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+      FROM moves WHERE s IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN prev_s IS NULL OR s <> prev_s THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM seq GROUP BY event_type
+    )
+    SELECT event_type, runs, n_up, n_down,
+           (runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+             / SQRT(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1.0))) AS z_stat
+    FROM agg
+    """,
+)
+def win_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per series (#36 cont.): are the daily
+    up/down moves RANDOM? Too few runs = momentum/autocorrelation, too
+    many = mean-reverting oscillation — completing the nonparametric
+    monitoring suite (Mann-Kendall: is there drift; CUSUM: where is the
+    shift; runs: is the residual noise actually noise).
+
+    Signs come from one LAG over the daily series (ties dropped, the
+    standard treatment), runs from a second LAG counting sign changes —
+    both share the per-series sort. Counts are exact integers; the
+    z-score is the classical mean/variance epilogue as one fixed IEEE
+    expression. Daily pre-aggregation first, as with every test in this
+    family: statistics over ~30 points per series at any event rate."""
+    ev = events_ts(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.expr("ts_sec div 86400").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    moves = daily.withColumn(
+        "s",
+        F.when(F.col("x") > F.lag("x").over(w), 1).when(
+            F.col("x") < F.lag("x").over(w), -1
+        ),
+    ).filter(F.col("s").isNotNull())
+    seq = moves.withColumn("prev_s", F.lag("s").over(w))
+    agg = seq.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+        F.count_if(F.col("s") == 1).cast("bigint").alias("n_up"),
+        F.count_if(F.col("s") == -1).cast("bigint").alias("n_down"),
+    )
+    r, u, d = F.col("runs"), F.col("n_up"), F.col("n_down")
+    n = u + d
+    z = (r - (2.0 * u * d / n + 1)) / F.sqrt(
+        2.0 * u * d * (2.0 * u * d - u - d) / (n * n * (n - F.lit(1.0)))
+    )
+    return agg.select("event_type", "runs", "n_up", "n_down", z.alias("z_stat"))
