@@ -1590,3 +1590,95 @@ def x_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vmr"),
         )
     )
+
+
+@query(
+    "x_text_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT UNNEST(l) AS tok FROM toks
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT l[i+1] AS w1, l[i+2] AS w2
+        FROM (SELECT l, UNNEST(range(len(l) - 1)) AS i FROM toks WHERE len(l) >= 2)
+      ) WHERE w1 <> '' AND w2 <> ''
+      GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ),
+    n_bg AS (
+      SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bg
+    )
+    SELECT b.w1, b.w2, b.c12,
+           ROUND(LN((CAST(b.c12 AS DOUBLE) / n_bg.nb)
+                    / ((CAST(u1.c AS DOUBLE) / n_uni.n)
+                       * (CAST(u2.c AS DOUBLE) / n_uni.n))), 9) AS pmi
+    FROM bg b
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    CROSS JOIN n_uni CROSS JOIN n_bg
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def x_text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information (#63 cont.):
+    adjacent word pairs scored by PMI = ln(p(w1 w2) / (p(w1) p(w2))) —
+    word2vec's training statistic and the phrase-detection pass
+    ('new york'-style merges) run before tokenizer/embedding training;
+    min-support 5 drops the unstable tail, top-20 reported.
+
+    PMI's one transcendental is computed per surviving bigram TYPE (a
+    vocabulary-bounded table, not the token stream) and ROUNDed at 9 dp
+    before the (pmi DESC, w1, w2) ordering, so the ranking is
+    deterministic cross-engine at the comparison grain. Unigram and
+    bigram counts are two explode+count passes; the scoring join keys
+    on words with broadcast count tables."""
+    d = T(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(_TOKS()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    t = d.select(_TOKS().alias("l")).filter(F.size("l") >= 2)
+    bg = (
+        t.select(
+            F.explode(
+                F.expr("transform(sequence(0, size(l)-2), i -> struct(l[i] AS w1, l[i+1] AS w2))")
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    n_bg = bg.agg(F.sum("c12").cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("nb"))
+            / (
+                (F.col("c1").cast("double") / F.col("n"))
+                * (F.col("c2").cast("double") / F.col("n"))
+            )
+        ),
+        9,
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
