@@ -1602,3 +1602,70 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         (F.lit(1.0) / F.col("n_suppliers")).alias("hhi_floor"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= total THEN price END) AS DOUBLE)
+             AS weighted_median_price,
+           CAST(MAX(total) AS DOUBLE) AS total_weight
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (#32 cont.): the price at which half the QUANTITY
+    (not half the rows) lies below — the inventory/market-microstructure
+    median where rows carry different mass, a statistic the plain
+    percentile family structurally cannot express (a 50-unit line item
+    must count 50x a 1-unit one).
+
+    The selector 2*cw >= total compares exact DECIMAL cumulative weights
+    — no fractional target, no interpolation, no float compare — and the
+    (price, wt) ordering makes the prefix sums deterministic under ties.
+    One per-group sort carries both window frames; at scale it's the
+    range-partitioned sort + per-range weight offsets, exactly the
+    two-phase global-rank shape (sort_global_rank_twophase) with weights
+    in place of counts."""
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_tot).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("price")))
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.max("total").cast("double").alias("total_weight"),
+    )
