@@ -112,11 +112,26 @@ def decode_media(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str 
 def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline (#66): binary payloads through the
     mapInPandas decode stage. Real schema, batching and partition flow;
-    stubbed codec."""
+    stubbed codec.
+
+    The feature vector is serialized to a CSV string for the result: the
+    verification driver canonicalizes results with a pandas sort, which
+    cannot order ndarray cells (round-4 driver row: TypeError unhashable
+    type 'numpy.ndarray'). Downstream pipeline stages keep consuming the
+    real ArrayType column from decode_media(); only the registered result
+    surface is scalarized."""
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return decode_media(d)
+    decoded = decode_media(d)
+    # feature values are k/97 for integer k in [0, 96]: 5 decimals is exact
+    # enough to round-trip the float32 grid deterministically.
+    feature_csv = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.format_number(x.cast("double"), 5))
+    )
+    return decoded.select(
+        "doc_id", "width", "height", "n_frames", feature_csv.alias("feature_csv")
+    )
 
 
 @query(

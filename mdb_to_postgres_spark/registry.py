@@ -129,7 +129,15 @@ def _check_rank(name: str, oracle_backed: bool, fp: Optional[str] = None) -> int
     history = _correctness_history()
     if name not in history:
         return 1
-    if history[name]:  # best recorded row was hash-green
+    status = history[name]
+    if status == "crashed":
+        # The latest driver row is a traceback — a visible failure
+        # regardless of oracle-backedness (round-4 x_multimodal_decode_stub
+        # crashed the canonicalizer and, under the old rules, would have
+        # waited ~2 rounds behind the never-checked backlog for its fix to
+        # be re-verified). Re-check first.
+        return 0
+    if status == "green":
         recorded = _recorded_fingerprints().get(name)
         # No sidecar entry yet = assume unchanged (the sidecar is seeded
         # lazily); a PRESENT-but-different entry means the code or oracle
@@ -137,15 +145,20 @@ def _check_rank(name: str, oracle_backed: bool, fp: Optional[str] = None) -> int
         if recorded is not None and fp is not None and recorded != fp:
             return 2
         return 4
+    # status == "clean": ran without a green hash (rows-only record, or an
+    # oracle-backed hash mismatch — the latter is a visible failure).
     return 0 if oracle_backed else 3
 
 
-_HISTORY: Optional[dict[str, bool]] = None
+_HISTORY: Optional[dict[str, str]] = None
 
 
-def _correctness_history() -> dict[str, bool]:
-    """name -> True if any round recorded hash_match=True, False if rows
-    were recorded without a green hash. Absent = never checked."""
+def _correctness_history() -> dict[str, str]:
+    """name -> status of the LATEST driver row: 'green' (hash_match=True),
+    'crashed' (err is a traceback), or 'clean' (ran without a green hash —
+    rows-only record or hash mismatch). Absent = never checked. Latest-row
+    semantics matter: a query green in round N but crashing in round N+1
+    must surface as crashed, and vice versa a fixed crash goes green."""
     global _HISTORY
     if _HISTORY is None:
         import glob
@@ -163,7 +176,13 @@ def _correctness_history() -> dict[str, bool]:
             for k, v in data.items():
                 if not isinstance(v, dict):
                     continue
-                _HISTORY[k] = _HISTORY.get(k, False) or v.get("hash_match") is True
+                if v.get("hash_match") is True:
+                    status = "green"
+                elif v.get("err") in (None, "no_oracle"):
+                    status = "clean"
+                else:
+                    status = "crashed"
+                _HISTORY[k] = status  # later rounds overwrite (sorted glob)
     return _HISTORY
 
 

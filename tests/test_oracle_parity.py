@@ -99,7 +99,25 @@ def test_oracle_parity(name, spark, duck):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(name, spark):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     fn = registry.QUERIES[name]
     df = fn(spark, ORACLE_SF)
+    # The driver canonicalizes rows-only results with the same pandas sort
+    # as oracle-checked ones (round-4 x_multimodal_decode_stub: ndarray
+    # cells crashed it), so the complex-type ban applies here too.
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: rows-only query returns complex-typed columns "
+        f"{complex_cols}; the driver canonicalizer cannot sort them"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in physical plan"
+    )
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

@@ -25,32 +25,45 @@ def _history_names() -> set[str]:
 
 
 def test_never_checked_queries_lead_the_window():
-    # Every registered query without any driver row must sit inside the
-    # driver's 50-entry window, ahead of already-green entries — unless
-    # there are more unchecked queries than the window holds, in which
-    # case the window must be packed solid with them (no green query may
-    # occupy a slot an unchecked one needs) and the overflow drains on
-    # the next rotation.
+    # Visible failures (rank 0: crashed rows, oracle-backed non-green rows)
+    # lead the window; every query without any driver row follows. The
+    # 50-entry window must be packed with (failures + unchecked) — no green
+    # query may occupy a slot one of those needs; overflow drains on the
+    # next rotation.
     order = list(registry.QUERIES)
     checked = _history_names()
+    failed = [
+        n
+        for n in order
+        if registry._check_rank(
+            n, n in registry.ORACLES,
+            registry._fingerprint(registry.QUERIES[n], registry.ORACLES.get(n)),
+        ) == 0
+    ]
     unchecked = [n for n in order if n not in checked]
     assert unchecked, "all queries have driver rows — rotation converged"
-    if len(unchecked) <= 50:
-        worst = max(order.index(n) for n in unchecked)
-        assert worst < 50, (worst, unchecked)
+    needy = set(failed) | set(unchecked)
+    # failures first: every rank-0 entry precedes every rank-1 entry
+    if failed and unchecked:
+        assert max(order.index(n) for n in failed) < min(
+            order.index(n) for n in unchecked
+        ), (failed, order[:5])
+    if len(needy) <= 50:
+        worst = max(order.index(n) for n in needy)
+        assert worst < 50, (worst, sorted(needy))
     else:
-        assert all(n in unchecked for n in order[:50]), [
-            n for n in order[:50] if n not in unchecked
+        assert all(n in needy for n in order[:50]), [
+            n for n in order[:50] if n not in needy
         ]
         # and the overflow is contiguous right behind the window
-        worst = max(order.index(n) for n in unchecked)
-        assert worst < len(unchecked), (worst, len(unchecked))
+        worst = max(order.index(n) for n in needy)
+        assert worst < len(needy), (worst, len(needy))
 
 
 def test_rank_scale():
     checked = _history_names()
     hist = registry._correctness_history()
-    greens = [n for n, ok in hist.items() if ok and n in registry.QUERIES]
+    greens = [n for n, st in hist.items() if st == "green" and n in registry.QUERIES]
     assert greens, "no greens in history?"
     # Unchanged green -> back of the queue (rank 4).
     g = greens[0]
@@ -61,6 +74,34 @@ def test_rank_scale():
     if unchecked:
         n = unchecked[0]
         assert registry._check_rank(n, n in registry.ORACLES, "x") == 1
+
+
+def test_crashed_row_ranks_zero(monkeypatch):
+    # A driver row whose err is a traceback (not 'no_oracle') is a visible
+    # failure and must re-verify in the NEXT window even without an oracle
+    # — under the old rules x_multimodal_decode_stub's round-4 crash would
+    # have ranked 3 and waited ~2 rounds behind the never-checked backlog.
+    monkeypatch.setattr(
+        registry, "_HISTORY",
+        {"q_crash": "crashed", "q_clean": "clean", "q_green": "green"},
+    )
+    assert registry._check_rank("q_crash", False, "x") == 0
+    assert registry._check_rank("q_crash", True, "x") == 0
+    # rows-only clean record without an oracle stays rank 3; with one, 0
+    assert registry._check_rank("q_clean", False, "x") == 3
+    assert registry._check_rank("q_clean", True, "x") == 0
+    monkeypatch.setattr(registry, "_RECORDED_FP", {})
+    assert registry._check_rank("q_green", True, "x") == 4
+
+
+def test_history_latest_row_wins():
+    # The real round-4 file records x_multimodal_decode_stub's canonicalizer
+    # traceback — the parsed history must surface it as crashed, and the
+    # long-green queries as green.
+    hist = registry._correctness_history()
+    assert hist.get("x_multimodal_decode_stub") == "crashed"
+    assert hist.get("x_multimodal_ingest") == "green"
+    assert hist.get("x_sim_ann_lsh") == "clean"  # err == 'no_oracle'
 
 
 def test_fingerprint_mismatch_demotes_green(monkeypatch):

@@ -73,6 +73,37 @@ def test_stream_stateful_counters_converge(spark):
     assert (abs(merged.value_sum_got - merged.value_sum_want) < 1e-9).all()
 
 
+def test_stream_stateful_counters_rocksdb_store(spark):
+    """The TWS test above it skips when google.protobuf is absent; this
+    covers its distinct scenario — custom stateful aggregation on the
+    RocksDB state store — through the applyInPandasWithState fallback,
+    which needs no protobuf. Stateful semantics therefore always have a
+    non-skipped test in this image."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream_df = runtime.stateful_user_counters(runtime.read_events_stream(spark, ORACLE_SF))
+        got = runtime.run_to_memory(spark, stream_df, "t_stateful_rocks", "update").toPandas()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = got.groupby("user_id").last().reset_index()
+    want = (
+        QUERIES["stream_stateful_count"](spark, ORACLE_SF)
+        .select("user_id", "event_cnt", "value_sum")
+        .toPandas()
+    )
+    merged = final.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged.event_cnt_got == merged.event_cnt_want).all()
+    assert (abs(merged.value_sum_got - merged.value_sum_want) < 1e-9).all()
+
+
 def test_watermark_drops_late_rows(spark):
     # Hand-built late-data scenario: batch 1 advances the watermark past
     # batch 2's stale event; the stale event must not create/refresh a
