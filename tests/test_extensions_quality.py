@@ -107,18 +107,36 @@ def test_simhash_finds_exact_duplicates(spark):
 
 
 def test_multimodal_decode_shapes(spark):
-    out = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF)
-    pdf = out.toPandas()
-    n_docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet").count()
+    # The pipeline stage keeps the real ArrayType feature column...
+    from pyspark.sql import functions as _F
+    from mdb_to_postgres_spark.extensions.multimodal import decode_media
+
+    docs = spark.read.parquet(f"{ORACLE_SF}/documents.parquet").select(
+        "doc_id", _F.encode(_F.col("text"), "utf-8").alias("payload")
+    )
+    stage = decode_media(docs).toPandas()
+    n_docs = len(stage)
+    assert n_docs == docs.count()
+    assert stage.feature.map(len).eq(8).all()
+    # ...while the registered query serializes it for the driver
+    # canonicalizer (round-4 crash): scalar CSV of the same 8 values.
+    pdf = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF).toPandas()
     assert len(pdf) == n_docs
     assert (pdf.width >= 16).all() and (pdf.width < 80).all()
-    assert pdf.feature.map(len).eq(8).all()
+    assert pdf.feature_csv.str.count(",").eq(7).all()
     # Deterministic stub: same input -> same features across runs.
     pdf2 = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF).toPandas()
     a = pdf.sort_values("doc_id").reset_index(drop=True)
     b = pdf2.sort_values("doc_id").reset_index(drop=True)
     assert (a.width == b.width).all()
-    assert all(list(x) == list(y) for x, y in zip(a.feature, b.feature))
+    assert (a.feature_csv == b.feature_csv).all()
+    # CSV serialization is faithful to the stage's array values.
+    joined = a.merge(
+        stage.sort_values("doc_id").reset_index(drop=True), on="doc_id"
+    )
+    for csv, arr in zip(joined.feature_csv, joined.feature):
+        got = [float(x) for x in csv.split(",")]
+        assert all(abs(g - float(v)) < 5e-6 for g, v in zip(got, arr))
 
 
 def test_fingerprint_is_order_sensitive(spark):

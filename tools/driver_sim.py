@@ -72,6 +72,10 @@ def main() -> None:
                 row["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
                 row["hash_match"] = vhash(sdf) == vhash(odf)
             else:
+                # The real driver canonicalizes rows-only results too (its
+                # round-4 decode_stub row crashed INSIDE _canon), so take
+                # the same path here or this sim under-reports.
+                vhash(sdf)
                 row["err"] = "no_oracle"
         except Exception as e:  # noqa: BLE001
             row["err"] = f"{type(e).__name__}: {e}"[:200]
