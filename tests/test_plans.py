@@ -330,6 +330,75 @@ def test_triplets_corpus_count_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_cooccurrence_stats_joins_broadcast(spark):
+    # Basket-blocked pair generation: the lift epilogue joins (freq, n)
+    # must broadcast onto the pair aggregate — pair rows never ride a
+    # sort-merge exchange for a stats lookup.
+    plan = explain_str(QUERIES["x_rec_item_cooccurrence"](spark, ORACLE_SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # two-phase pair counts
+
+
+def test_kmv_sketch_keeps_k_minima_via_window(spark):
+    # Per-group k-minimum-values: rank window over the hash, no
+    # cross-group data movement beyond the one group-key shuffle.
+    plan = explain_str(QUERIES["agg_kmv_distinct_sketch"](spark, ORACLE_SF))
+    assert "Window" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_event_paths_topk_avoids_global_sort(spark):
+    plan = explain_str(QUERIES["win_event_paths_top"](spark, ORACLE_SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    # Query scoring = broadcast joins against the df/dl index tables;
+    # the final top-20 is a TakeOrdered, never a full sort of the corpus.
+    plan = explain_str(QUERIES["x_text_bm25_retrieval"](spark, ORACLE_SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rrf_fuses_two_topk_lists(spark):
+    # Both retrieval arms end in TakeOrdered top-k lists before the
+    # full-outer fusion — RRF never joins unranked corpora.
+    plan = explain_str(QUERIES["x_sim_hybrid_rrf"](spark, ORACLE_SF))
+    assert plan.count("TakeOrderedAndProject") >= 4, plan  # >=2 nodes (tree+detail)
+
+
+def test_geo_grid_nearest_all_broadcast(spark):
+    # 9-cell neighborhood expansion and the cell join broadcast the
+    # (small) site side; the big events side never re-shuffles for it.
+    plan = explain_str(QUERIES["join_geo_grid_nearest"](spark, ORACLE_SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_k_anonymity_is_pure_aggregation(spark):
+    # Class-level audit: aggregates only — no join anywhere, so no row
+    # explosion is possible at any scale.
+    plan = explain_str(QUERIES["x_privacy_k_anonymity"](spark, ORACLE_SF))
+    assert "Join" not in plan, plan
+
+
+def test_prefix_filter_only_match_stream_rides_smj(spark):
+    # Exactly ONE sort-merge join (the large-by-large shingle match
+    # stream, formatted plans mention each node twice); df-rank,
+    # candidate stats and verify epilogue all broadcast.
+    plan = explain_str(QUERIES["x_dedup_prefix_filter_join"](spark, ORACLE_SF))
+    assert plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_auc_ranks_in_one_exchange(spark):
+    # Mann-Whitney AUC at this sf: one exchange feeds the rank window and
+    # the final scalar agg (the two-phase global-rank twin shows the
+    # cluster-scale shape; see sort_global_rank_twophase).
+    plan = explain_str(QUERIES["x_eval_auc"](spark, ORACLE_SF))
+    assert "Window" in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+
+
 def test_no_plan_antipatterns_anywhere(spark):
     """Sweep EVERY registered query's physical plan at sf0.001: no
     un-broadcast CartesianProduct and no row-at-a-time Python eval
