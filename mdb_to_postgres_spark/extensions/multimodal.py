@@ -108,29 +108,49 @@ def decode_media(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str 
     return binary_df.mapInPandas(decode_batches, schema=_DECODED_SCHEMA)
 
 
-@query("x_multimodal_decode_stub")  # rows-only: decoder is a stub by design
+@query(
+    "x_multimodal_decode_stub",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 + n % 64 AS INTEGER) AS width,
+           CAST(16 + (n // 64) % 64 AS INTEGER) AS height,
+           CAST(1 + n % 4 AS INTEGER) AS n_frames,
+           array_to_string(
+             list_transform(range(8),
+               i -> ascii(substr(text, (i % n) + 1, 1)) % 97), ',') AS feature_q97
+    FROM m
+    """,
+)
 def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline (#66): binary payloads through the
     mapInPandas decode stage. Real schema, batching and partition flow;
-    stubbed codec.
+    stubbed codec — and ORACLE-CHECKED end to end: the stub derives each
+    feature as (byte % 97)/97, so the result serializes the exact integer
+    lattice (feature*97, invertible, float-free) and DuckDB reproduces the
+    whole Arrow decode stage from the text bytes (corpus verified pure
+    ASCII, so ascii(substr(..)) IS the payload byte).
 
-    The feature vector is serialized to a CSV string for the result: the
-    verification driver canonicalizes results with a pandas sort, which
-    cannot order ndarray cells (round-4 driver row: TypeError unhashable
-    type 'numpy.ndarray'). Downstream pipeline stages keep consuming the
-    real ArrayType column from decode_media(); only the registered result
-    surface is scalarized."""
+    The vector must be serialized regardless: the verification driver
+    canonicalizes results with a pandas sort, which cannot order ndarray
+    cells (round-4 driver row: TypeError unhashable type 'numpy.ndarray').
+    Downstream pipeline stages keep consuming the real ArrayType column
+    from decode_media(); only the registered result surface is
+    scalarized."""
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     decoded = decode_media(d)
-    # feature values are k/97 for integer k in [0, 96]: 5 decimals is exact
-    # enough to round-trip the float32 grid deterministically.
-    feature_csv = F.concat_ws(
-        ",", F.transform("feature", lambda x: F.format_number(x.cast("double"), 5))
+    feature_q97 = F.concat_ws(
+        ",",
+        F.transform(
+            "feature", lambda x: F.round(x.cast("double") * 97).cast("int").cast("string")
+        ),
     )
     return decoded.select(
-        "doc_id", "width", "height", "n_frames", feature_csv.alias("feature_csv")
+        "doc_id", "width", "height", "n_frames", feature_q97.alias("feature_q97")
     )
 
 

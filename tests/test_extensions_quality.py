@@ -119,24 +119,24 @@ def test_multimodal_decode_shapes(spark):
     assert n_docs == docs.count()
     assert stage.feature.map(len).eq(8).all()
     # ...while the registered query serializes it for the driver
-    # canonicalizer (round-4 crash): scalar CSV of the same 8 values.
+    # canonicalizer (round-4 crash): the integer lattice (feature*97).
     pdf = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF).toPandas()
     assert len(pdf) == n_docs
     assert (pdf.width >= 16).all() and (pdf.width < 80).all()
-    assert pdf.feature_csv.str.count(",").eq(7).all()
+    assert pdf.feature_q97.str.count(",").eq(7).all()
     # Deterministic stub: same input -> same features across runs.
     pdf2 = QUERIES["x_multimodal_decode_stub"](spark, ORACLE_SF).toPandas()
     a = pdf.sort_values("doc_id").reset_index(drop=True)
     b = pdf2.sort_values("doc_id").reset_index(drop=True)
     assert (a.width == b.width).all()
-    assert (a.feature_csv == b.feature_csv).all()
-    # CSV serialization is faithful to the stage's array values.
+    assert (a.feature_q97 == b.feature_q97).all()
+    # Lattice serialization is invertible against the stage's array values.
     joined = a.merge(
         stage.sort_values("doc_id").reset_index(drop=True), on="doc_id"
     )
-    for csv, arr in zip(joined.feature_csv, joined.feature):
-        got = [float(x) for x in csv.split(",")]
-        assert all(abs(g - float(v)) < 5e-6 for g, v in zip(got, arr))
+    for csv, arr in zip(joined.feature_q97, joined.feature):
+        got = [int(x) for x in csv.split(",")]
+        assert all(0 <= g <= 96 and abs(g / 97.0 - float(v)) < 5e-6 for g, v in zip(got, arr))
 
 
 def test_fingerprint_is_order_sensitive(spark):
