@@ -24,6 +24,9 @@ REPR = [
     ("join_geo_grid_nearest", "grid-blocked spatial NN: 9x broadcast cells + packed-min argmin"),
     ("x_dedup_prefix_filter_join", "PPJoin prefix filter: df-ranked prefixes bound candidates"),
     ("agg_kmv_distinct_sketch", "KMV order-statistics sketch: per-group k-minima"),
+    ("x_rec_item_cooccurrence", "basket-blocked pair generation; stats joins broadcast"),
+    ("x_privacy_k_anonymity", "class-level audit: pure aggregation, zero joins"),
+    ("x_text_bm25_retrieval", "index-table broadcast joins + TakeOrdered top-k"),
 ]
 
 
