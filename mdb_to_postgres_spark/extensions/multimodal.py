@@ -120,7 +120,10 @@ def decode_media(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str 
            CAST(1 + n % 4 AS INTEGER) AS n_frames,
            array_to_string(
              list_transform(range(8),
-               i -> ascii(substr(text, (i % n) + 1, 1)) % 97), ',') AS feature_q97
+               -- greatest(n, 1): i % 0 is NULL in DuckDB but _fake_decode's
+               -- `if n else 0` branch emits zeros for an empty payload;
+               -- substr('', 1, 1) = '' and ascii('') = 0, so this matches.
+               i -> ascii(substr(text, (i % greatest(n, 1)) + 1, 1)) % 97), ',') AS feature_q97
     FROM m
     """,
 )

@@ -66,8 +66,10 @@ _LOADED = False
 # each round (rounds 1 and 2 both cut at entry 50), so registration order
 # is rotated every round. The rotation is SELF-COMPUTING from the driver's
 # own CORRECTNESS_r*.json history in the repo root:
-#   rank 0 — a driver row exists but is not hash-green AND the query is
-#            oracle-backed now (visible failures: fix these first);
+#   rank 0 — the latest driver row is a visible failure: a crashed row
+#            (err traceback) regardless of oracle-backedness, or a row
+#            without a green hash on a query that is oracle-backed now
+#            (hash mismatch, or an oracle added since the rows-only row);
 #   rank 1 — no driver row at all (never checked);
 #   rank 2 — hash-green historically, but the implementation or oracle has
 #            CHANGED since the round that went green (source fingerprint
@@ -162,28 +164,37 @@ def _correctness_history() -> dict[str, str]:
     global _HISTORY
     if _HISTORY is None:
         import glob
-        import json
         import os
 
-        _HISTORY = {}
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-            try:
-                with open(path) as f:
-                    data = json.load(f)
-            except (OSError, ValueError):
-                continue
-            for k, v in data.items():
-                if not isinstance(v, dict):
-                    continue
-                if v.get("hash_match") is True:
-                    status = "green"
-                elif v.get("err") in (None, "no_oracle"):
-                    status = "clean"
-                else:
-                    status = "crashed"
-                _HISTORY[k] = status  # later rounds overwrite (sorted glob)
+        _HISTORY = _parse_history(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     return _HISTORY
+
+
+def _parse_history(paths: list[str]) -> dict[str, str]:
+    """Parse driver CORRECTNESS files (sorted, later rounds overwrite) into
+    the latest-row status map. Split from _correctness_history so tests can
+    feed fixed files instead of asserting on the mutable repo-root glob."""
+    import json
+
+    hist: dict[str, str] = {}
+    for path in sorted(paths):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            if v.get("hash_match") is True:
+                status = "green"
+            elif v.get("err") in (None, "no_oracle"):
+                status = "clean"
+            else:
+                status = "crashed"
+            hist[k] = status  # later rounds overwrite (sorted input)
+    return hist
 
 
 def load_all() -> None:

@@ -95,18 +95,26 @@ def test_crashed_row_ranks_zero(monkeypatch):
 
 
 def test_history_latest_row_wins():
-    # The real round-4 file records x_multimodal_decode_stub's canonicalizer
-    # traceback — the parsed history must surface it as crashed, and the
-    # long-green queries as green.
-    hist = registry._correctness_history()
-    assert hist.get("x_multimodal_decode_stub") == "crashed"
-    assert hist.get("x_multimodal_ingest") == "green"
-    assert hist.get("x_sim_ann_lsh") == "clean"  # err == 'no_oracle'
+    # Latest-row semantics over FIXED inputs (not the mutable repo-root
+    # glob, which grows a new file every round): the round-4 file records
+    # x_multimodal_decode_stub's canonicalizer traceback; the round-5 file
+    # records its fixed, hash-green row. Parsed alone, round 4 must surface
+    # it as crashed; parsed together, the round-5 row must win.
+    r4 = os.path.join(REPO, "CORRECTNESS_r04.json")
+    r5 = os.path.join(REPO, "CORRECTNESS_r05.json")
+    hist4 = registry._parse_history([r4])
+    assert hist4.get("x_multimodal_decode_stub") == "crashed"
+    assert hist4.get("x_multimodal_ingest") == "green"
+    assert hist4.get("x_sim_ann_lsh") == "clean"  # err == 'no_oracle'
+    both = registry._parse_history([r4, r5])
+    assert both.get("x_multimodal_decode_stub") == "green"
+    # and order of the input list must not matter (sorted internally)
+    assert registry._parse_history([r5, r4]) == both
 
 
 def test_fingerprint_mismatch_demotes_green(monkeypatch):
     hist = registry._correctness_history()
-    greens = [n for n, ok in hist.items() if ok and n in registry.QUERIES]
+    greens = [n for n, st in hist.items() if st == "green" and n in registry.QUERIES]
     g = greens[0]
     real_fp = registry._fingerprint(registry.QUERIES[g], registry.ORACLES.get(g))
     monkeypatch.setattr(registry, "_RECORDED_FP", {g: real_fp})
