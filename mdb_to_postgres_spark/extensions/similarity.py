@@ -569,11 +569,30 @@ def _lsh_planes() -> list[list[list[int]]]:
 _LSH_W = _lsh_planes()
 
 
-def _lsh_dot_sql(w: list[int], emb: str, one_based: bool) -> str:
+# Each plane dot is emitted as 4 parenthesized 16-term chunks, not one flat
+# 64-term chain: 32 flat dots in one Project generated >64 KB of bytecode in
+# a single Janino method (observed: "Code grows beyond 64 KB", whole-stage
+# codegen fell back to interpreted eval for the substrate build — exactly
+# the cliff a 100 TB signature pass cannot afford). Chunks are small enough
+# for Spark's expression-splitting to give each its own method. The chunked
+# association ((c0)+(c1))+(c2)... is mirrored verbatim in the DuckDB oracle,
+# so signatures stay bit-identical across engines.
+_LSH_CHUNK = 16
+
+
+def _lsh_dot_chunks(w: list[int], emb: str, one_based: bool) -> list[str]:
     off = 1 if one_based else 0
-    return " + ".join(
-        f"CAST({emb}[{d + off}] AS DOUBLE) * {w[d]}" for d in range(DIM)
-    )
+    return [
+        " + ".join(
+            f"CAST({emb}[{d + off}] AS DOUBLE) * {w[d]}"
+            for d in range(k, min(k + _LSH_CHUNK, DIM))
+        )
+        for k in range(0, DIM, _LSH_CHUNK)
+    ]
+
+
+def _lsh_dot_sql(w: list[int], emb: str, one_based: bool) -> str:
+    return " + ".join(f"({c})" for c in _lsh_dot_chunks(w, emb, one_based))
 
 
 def _lsh_sql_oracle() -> str:
@@ -631,12 +650,30 @@ _LSH_BUCK_CACHE: dict = {}
 def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         e = T(spark, sf_dir, "embeddings")
-        dots = e.select(
+        # Stage 1: 128 small chunk columns (16 terms each). The
+        # localCheckpoint is a CollapseProject barrier as much as a cache:
+        # without it Catalyst re-fuses chunks+dots+buckets into one Project
+        # whose generated consume method exceeds Janino's 64 KB ceiling and
+        # the whole substrate build drops to interpreted eval.
+        n_chunks = (DIM + _LSH_CHUNK - 1) // _LSH_CHUNK
+        chunk_cols = [
+            F.expr(f"({chunk})").alias(f"c{t}_{b}_{k}")
+            for t in range(_LSH_TABLES)
+            for b in range(_LSH_BITS)
+            for k, chunk in enumerate(
+                _lsh_dot_chunks(_LSH_W[t][b], "embedding", False)
+            )
+        ]
+        chunks = e.select("vec_id", *chunk_cols).localCheckpoint()
+        # Stage 2: per-plane dot = left-assoc sum of its chunks — the same
+        # association the chunked oracle SQL spells out.
+        dots = chunks.select(
             "vec_id",
             *[
-                F.expr(f"({_lsh_dot_sql(_LSH_W[t][b], 'embedding', False)})").alias(
-                    f"d{t}_{b}"
-                )
+                sum(
+                    [F.col(f"c{t}_{b}_{k}") for k in range(1, n_chunks)],
+                    F.col(f"c{t}_{b}_0"),
+                ).alias(f"d{t}_{b}")
                 for t in range(_LSH_TABLES)
                 for b in range(_LSH_BITS)
             ],
