@@ -1053,3 +1053,53 @@ def x_mix_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("docs").cast("double") / F.col("total"))
         ).alias("upsample_factor"),
     )
+
+
+_RESERVOIR_K = 5  # docs kept per source stratum
+
+
+@query(
+    "x_sample_reservoir_stratified",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT + 1)
+              / 4294967296.0) AS draw_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, draw_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY draw_key, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars, draw_key, rn
+    FROM ranked WHERE rn <= {_RESERVOIR_K}
+    """,
+)
+def x_sample_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform reservoir sample of k=5 docs per source stratum — the
+    distributed twin of classic Algorithm R, via the key equivalence: a
+    size-k reservoir over any arrival order is distribution-identical to
+    keeping the k smallest uniform draw keys, and THAT formulation merges
+    — each partition keeps its local per-stratum top-k, merges keep the
+    best k again (associative, resume-safe), where a literal
+    sequential-reservoir state is order-dependent and unmergeable. Draw
+    keys are md5-derived exact dyadic rationals (chars 9-16, a disjoint
+    slice from the weighted sampler's so the two samples are
+    independent); no RNG, the sample is bit-stable across reruns.
+
+    Plan note: rn <= k over (source, key) is Spark's WindowGroupLimit —
+    the per-partition rank prune runs BEFORE the shuffle, so only ~k rows
+    per stratum per partition ever move."""
+    d = T(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    key = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    keyed = d.select("source", "doc_id", "n_chars", key.alias("draw_key"))
+    w = Window.partitionBy("source").orderBy("draw_key", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+    )

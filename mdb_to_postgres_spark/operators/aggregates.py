@@ -1669,3 +1669,115 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_price"),
         F.max("total").cast("double").alias("total_weight"),
     )
+
+
+_THETA_K = 128  # KMV sketch size: (k-1)/theta estimator, ~9% rel. stderr
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    ha AS (SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1) AS h FROM a),
+    hb AS (SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1) AS h FROM b),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT {_THETA_K}),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT {_THETA_K}),
+    sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT {_THETA_K}),
+    est AS (
+      SELECT
+        CAST({_THETA_K} - 1 AS DOUBLE) / (CAST((SELECT MAX(h) FROM ska) AS DOUBLE)
+                                          / 4294967296.0) AS est_a,
+        CAST({_THETA_K} - 1 AS DOUBLE) / (CAST((SELECT MAX(h) FROM skb) AS DOUBLE)
+                                          / 4294967296.0) AS est_b,
+        CAST({_THETA_K} - 1 AS DOUBLE) / (CAST((SELECT MAX(h) FROM sku) AS DOUBLE)
+                                          / 4294967296.0) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_intersect,
+           (SELECT COUNT(*) FROM a) AS exact_a,
+           (SELECT COUNT(*) FROM b) AS exact_b,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION
+                                  SELECT user_id FROM b)) AS exact_union,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT
+                                  SELECT user_id FROM b)) AS exact_intersect
+    FROM est
+    """,
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set operations: estimate |A|, |B|, |A∪B| and
+    |A∩B| for two user sets (clickers vs purchasers) from k=128 minimum
+    md5 hashes per set, next to the exact answers for error audit.
+
+    This is the mergeable-sketch algebra a 100 TB distinct-count layer
+    runs on: each partition keeps its k smallest hashes (a sort+limit =
+    TakeOrdered partial per partition, merged k-way on the driver — never
+    a global shuffle of members), sketches union by re-taking the k
+    smallest of the concatenation (valid because the k smallest of A∪B is
+    a subset of ska ∪ skb), and intersection comes from
+    inclusion-exclusion on three estimates. Hashes are md5-derived exact
+    dyadic rationals (h+1)/2^32 — the estimator (k-1)/theta is integer
+    divides, bit-identical across engines, no RNG. The corpus-side exact
+    counts are the audit column a production job samples, not computes.
+
+    Requires both sets to overflow k (true for every corpus sf); the
+    degenerate exact-below-k branch is the sketch library's concern, not
+    this operator's."""
+    ev = events_ts(spark, sf_dir)
+
+    def hashes(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+            .select(
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    + 1
+                ).alias("h")
+            )
+        )
+
+    ha, hb = hashes("click"), hashes("purchase")
+    ska = ha.orderBy("h").limit(_THETA_K)
+    skb = hb.orderBy("h").limit(_THETA_K)
+    sku = ska.union(skb).distinct().orderBy("h").limit(_THETA_K)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            (
+                F.lit(float(_THETA_K - 1))
+                / (F.max("h").cast("double") / F.lit(4294967296.0))
+            ).alias(name)
+        )
+
+    a_users = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b_users = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exacts = (
+        a_users.agg(F.count("*").alias("exact_a"))
+        .crossJoin(b_users.agg(F.count("*").alias("exact_b")))
+        .crossJoin(a_users.union(b_users).distinct().agg(F.count("*").alias("exact_union")))
+        .crossJoin(
+            a_users.intersect(b_users).agg(F.count("*").alias("exact_intersect"))
+        )
+    )
+    return (
+        est(ska, "est_a")
+        .crossJoin(est(skb, "est_b"))
+        .crossJoin(est(sku, "est_union"))
+        .withColumn(
+            "est_intersect", F.col("est_a") + F.col("est_b") - F.col("est_union")
+        )
+        .crossJoin(exacts)
+        .select(
+            "est_a", "est_b", "est_union", "est_intersect",
+            "exact_a", "exact_b", "exact_union", "exact_intersect",
+        )
+    )

@@ -1492,3 +1492,199 @@ def win_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         2.0 * u * d * (2.0 * u * d - u - d) / (n * n * (n - F.lit(1.0)))
     )
     return agg.select("event_type", "runs", "n_up", "n_down", z.alias("z_stat"))
+
+
+# -- round-6 additions: sessionized multi-touch attribution, RFM ---------
+
+
+@query(
+    "win_funnel_attribution_paths",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, {_EV_SEC} AS ts_sec
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts_sec,
+             CASE WHEN ts_sec - LAG(ts_sec) OVER
+                    (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts_sec,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts_sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    run AS (
+      SELECT user_id, event_id, event_type, session_id,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                           THEN 1 ELSE 0 END) OVER ws AS BIGINT) AS n_touches,
+             first_value(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER ws AS first_touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER ws AS last_touch_type
+      FROM sess
+      WINDOW ws AS (PARTITION BY user_id, session_id
+                    ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, session_id, n_touches,
+           first_touch_type, last_touch_type,
+           CASE WHEN n_touches = 1 THEN 1.0
+                WHEN n_touches = 2 THEN 0.5 ELSE 0.4 END AS first_credit,
+           CASE WHEN n_touches = 1 THEN 0.0
+                WHEN n_touches = 2 THEN 0.5 ELSE 0.4 END AS last_credit,
+           CASE WHEN n_touches >= 3 THEN 0.2 ELSE 0.0 END AS middle_credit
+    FROM run
+    WHERE event_type = 'purchase' AND n_touches >= 1
+    """,
+)
+def win_funnel_attribution_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized multi-touch (U-shaped) attribution over real event
+    paths: sessionize each user's click/view/purchase stream (30-min
+    inactivity gap), then credit every purchase across the touches that
+    preceded it IN ITS SESSION — 40/20/40 between first touch, middle
+    touches (as a pool), and last touch (1 touch: all credit; 2: split).
+
+    The whole path analysis is two running windows over ONE shuffle on
+    user_id (sessionize = lag + running sum; path stats = running
+    count/first/last over (user, session)) — never a per-(purchase, touch)
+    pair join, which is the formulation that blows up on power users at
+    100 TB. Middle credit stays a pool (n_touches fully determines each
+    middle touch's share, 0.2/(n-2)) precisely so the result stays
+    purchase-granular instead of pair-granular."""
+    ev = events_ts(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts_sec")
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_sess = F.when(
+        F.col("ts_sec") - F.lag("ts_sec").over(
+            Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        ) > 1800,
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wo))
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_type = F.when(is_touch, F.col("event_type"))
+    ws = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sess.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "session_id",
+        F.sum(is_touch.cast("int")).over(ws).alias("n_touches"),
+        F.first(touch_type, ignorenulls=True).over(ws).alias("first_touch_type"),
+        F.last(touch_type, ignorenulls=True).over(ws).alias("last_touch_type"),
+    )
+    n = F.col("n_touches")
+    return (
+        run.filter((F.col("event_type") == "purchase") & (n >= 1))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "session_id",
+            "n_touches",
+            "first_touch_type",
+            "last_touch_type",
+            F.when(n == 1, 1.0).when(n == 2, 0.5).otherwise(0.4).alias("first_credit"),
+            F.when(n == 1, 0.0).when(n == 2, 0.5).otherwise(0.4).alias("last_credit"),
+            F.when(n >= 3, 0.2).otherwise(0.0).alias("middle_credit"),
+        )
+    )
+
+
+@query(
+    "win_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', MAX(o_orderdate), ANY_VALUE(a.mx)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders, anchor a GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             NTILE(4) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary ASC, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT custkey, recency_days, frequency,
+           CAST(monetary AS DOUBLE) AS monetary, r_score, f_score, m_score,
+           CASE WHEN r_score = 4 AND f_score >= 3 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'other' END AS segment
+    FROM scored
+    """,
+)
+def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since last
+    order, against the corpus max date), frequency (order count) and
+    monetary (exact DECIMAL revenue sum — never a float accumulation), each
+    quartile-scored with NTILE(4) under a fully-deterministic total order
+    (metric, custkey) so bucket boundaries are engine-independent, then
+    mapped to named segments.
+
+    Scale shape: one groupBy on o_custkey; the three NTILEs are global
+    sorts of the 1-row-per-customer aggregate (orders-of-magnitude smaller
+    than the fact table) — at 100 TB they run as range-partitioned sorts
+    with broadcast quartile cut points (the two-phase global-rank
+    discipline, see sort_global_rank_twophase)."""
+    o = T(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("custkey"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("custkey"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.asc("monetary"), F.asc("custkey"))).alias("m_score"),
+    )
+    r, f_ = F.col("r_score"), F.col("f_score")
+    segment = (
+        F.when((r == 4) & (f_ >= 3), "champion")
+        .when((r >= 3) & (f_ >= 3), "loyal")
+        .when((r <= 2) & (f_ >= 3), "at_risk")
+        .when((r <= 2) & (f_ <= 2), "hibernating")
+        .otherwise("other")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )

@@ -260,11 +260,28 @@ _DEBT_TIER_B = {  # never checked, registered in round 4's first session
 }
 
 
+# Round-6 additions: tier 3, BEHIND every older never-checked query (the
+# §2.13-2.14 backlog defaults to tier 2) — a new query must never displace
+# the round-4 debt from the 50-entry window, whatever module it lives in.
+_DEBT_TIER_C = {
+    "win_funnel_attribution_paths", "win_rfm_segmentation",
+    "stream_late_data_quarantine", "agg_theta_sketch_setops",
+    "x_sample_reservoir_stratified", "join_interval_overlap",
+    "join_bucketed_dedup_verify", "x_dedup_semantic_lsh",
+    "x_multimodal_phash_dedup", "x_graph_bfs_hops",
+    "etl_compact_small_files", "x_privacy_l_diversity",
+    "x_eval_calibration_bins", "x_text_char_lm_perplexity",
+    "x_pipeline_dataset_card", "stream_join_windowed_runtime",
+}
+
+
 def _debt_tier(name: str) -> int:
     if name in _DEBT_TIER_A:
         return 0
     if name in _DEBT_TIER_B:
         return 1
+    if name in _DEBT_TIER_C:
+        return 3
     return 2
 
 

@@ -627,3 +627,73 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rnk") <= 3)
+
+
+@query(
+    "stream_late_data_quarantine",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, {_EV_SEC}
+             + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+                % 601) - 300 AS ts_eff
+      FROM events
+    ),
+    wm AS (
+      SELECT event_id, event_type, ts_eff,
+             MAX(ts_eff) OVER (ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) - 300 AS watermark
+      FROM ev
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts_eff < watermark THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(MAX(CASE WHEN ts_eff < watermark
+                         THEN watermark - ts_eff END) AS BIGINT)
+             AS max_lateness_sec,
+           CAST(SUM(CASE WHEN ts_eff < watermark
+                         THEN watermark - ts_eff ELSE 0 END) AS BIGINT)
+             AS total_lateness_sec,
+           MIN(CASE WHEN ts_eff < watermark THEN event_id END)
+             AS first_quarantined_id
+    FROM wm GROUP BY event_type
+    """,
+)
+def stream_late_data_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data quarantine audit, batch form (#55 cont.): the
+    watermark-split a production stream performs — on-time rows flow to
+    the windowed aggregate, late rows (event time below the watermark at
+    their ARRIVAL position) route to a quarantine sink with their lateness
+    recorded. The corpus arrives perfectly time-ordered, so event time is
+    perturbed by a deterministic md5-derived +/-300 s jitter (same
+    arithmetic in both engines — no RNG) and the watermark is the running
+    max event time over arrival order (event_id) minus a 300 s delay,
+    exactly Spark's withWatermark bookkeeping made explicit.
+
+    The running max over global arrival order is the one total-order step:
+    at scale it is two-phase (per-arrival-range maxes, broadcast prefix
+    maxes — the sort_global_rank_twophase discipline); the per-type audit
+    itself is an ordinary mergeable aggregation."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        (
+            F.col("ts_sec")
+            + F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10)
+            .cast("bigint")
+            % 601
+            - 300
+        ).alias("ts_eff"),
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = ev.withColumn("watermark", F.max("ts_eff").over(w) - 300)
+    late = F.col("ts_eff") < F.col("watermark")
+    lateness = F.col("watermark") - F.col("ts_eff")
+    return wm.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late.cast("int")).cast("bigint").alias("n_quarantined"),
+        F.max(F.when(late, lateness)).cast("bigint").alias("max_lateness_sec"),
+        F.sum(F.when(late, lateness).otherwise(0)).cast("bigint").alias("total_lateness_sec"),
+        F.min(F.when(late, F.col("event_id"))).alias("first_quarantined_id"),
+    )
