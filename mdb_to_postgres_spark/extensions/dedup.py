@@ -1127,3 +1127,70 @@ def x_dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("jac").alias("min_jaccard"),
         F.max("jac").alias("max_jaccard"),
     )
+
+
+def _ensure_bucketed_bands(spark: SparkSession, sf_dir: str) -> str:
+    """Write the banded MinHash signature index as a bucketed table (once
+    per sf/session), hash-bucketed AND sorted on band_sig — the persisted
+    form of the dedup substrate a 100 TB pipeline maintains between runs."""
+    import os
+
+    from ..operators.physical import _clear_stale_location
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tname = f"minhash_bands_bkt_{tag}"
+    if not spark.catalog.tableExists(tname):
+        _clear_stale_location(spark, tname)
+        sh = doc_shingles(spark, sf_dir)
+        h_col = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+        bands = _minhash_bands(
+            sh,
+            h_col,
+            lambda cols: F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])),
+        )
+        # ONE combined bucket key: Spark only treats bucketed sides as
+        # co-partitioned when the bucket columns cover ALL join keys
+        # (spark.sql.requireAllClusterKeysForCoPartition defaults true),
+        # so a (band, band_sig) join over a band_sig-bucketed table still
+        # exchanges. (band || '|' || sig) is equivalent as a join key and
+        # makes the bucketing cover it exactly.
+        keyed = bands.select(
+            "doc_id",
+            F.concat_ws("|", F.col("band").cast("string"), "band_sig").alias(
+                "bucket_key"
+            ),
+        )
+        (
+            keyed.write.bucketBy(8, "bucket_key")
+            .sortBy("bucket_key")
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+    return tname
+
+
+@query("join_bucketed_dedup_verify", oracle=_minhash_oracle())
+def join_bucketed_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate generation over a BUCKETED signature table —
+    the zero-Exchange variant of x_dedup_minhash_lsh's heaviest shuffle.
+
+    The banded index self-join on (band, band_sig) is THE dominant
+    exchange of a petabyte dedup run (every doc's every band rides it).
+    Persisting the index bucketed+sorted on band_sig makes that self-join
+    Exchange-free: HashPartitioning(band_sig) satisfies the join's
+    clustered distribution on (band, band_sig) because the partitioning
+    keys are a subset of the join keys, so each task sort-merges one
+    bucket file against itself (plan-asserted: no Exchange under the
+    candidate join). Same oracle as x_dedup_minhash_lsh — layout is an
+    execution detail, the result hash-checks identically."""
+    tname = _ensure_bucketed_bands(spark, sf_dir)
+    bands = spark.table(tname)
+    cand = (
+        bands.alias("x")
+        .hint("merge")
+        .join(bands.alias("y").hint("merge"), ["bucket_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(doc_shingles(spark, sf_dir), cand)

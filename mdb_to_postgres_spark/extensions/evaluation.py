@@ -347,3 +347,72 @@ def x_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "x_eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000, 0) AS BIGINT)
+               AS score_mil,
+             label % 2 AS y
+      FROM embeddings
+    ),
+    binned AS (
+      SELECT CAST(NTILE(10) OVER (ORDER BY score_mil, vec_id) AS INTEGER)
+               AS bin,
+             score_mil, y
+      FROM scored
+    ),
+    agg AS (
+      SELECT bin, COUNT(*) AS n,
+             CAST(SUM(score_mil) AS BIGINT) AS s_sum,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           CAST(s_sum AS DOUBLE) / (n * 1000.0) AS mean_score,
+           CAST(n_pos AS DOUBLE) / n AS pos_rate
+    FROM agg
+    """,
+)
+def x_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: decile-bin the model score (embedding
+    component 2, the corpus's stand-in logit), and report each bin's mean
+    score against its observed positive rate — the calibration audit run
+    on every quality-classifier before its scores gate corpus admission.
+
+    Determinism discipline, integer-lattice edition: the score is
+    quantized to milli-units FIRST (round(score*1000) — a float*1000 can
+    never land exactly on .5, so the rounding direction is never
+    engine-dependent; Spark's double->DECIMAL cast is NOT portable, it
+    round-trips through the shortest string repr), bin mass accumulates as
+    exact BIGINTs, and each reported ratio is ONE final IEEE divide. The
+    NTILE runs under a total order (score_mil, vec_id); it is the one
+    global-sort step (two-phase range-partitioned at scale)."""
+    e = T(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 2).cast("double") * 1000, 0)
+        .cast("bigint")
+        .alias("score_mil"),
+        (F.col("label") % 2).alias("y"),
+    )
+    binned = scored.select(
+        F.ntile(10).over(Window.orderBy("score_mil", "vec_id")).alias("bin"),
+        "score_mil",
+        "y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("score_mil").cast("bigint").alias("s_sum"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("s_sum").cast("double") / (F.col("n") * 1000.0)).alias("mean_score"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+    )

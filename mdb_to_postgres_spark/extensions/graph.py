@@ -277,3 +277,65 @@ def x_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= _KCORE_K)
     )
+
+
+_BFS_MAX_HOPS = 4
+
+
+@query(
+    "x_graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (SELECT node FROM nodes WHERE node % 7 = 0),
+    bfs AS (
+      SELECT node, 0 AS hops FROM seeds
+      UNION
+      SELECT e.dst AS node, b.hops + 1 AS hops
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def x_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-duplicate graph: hop distance (<= 4)
+    from the nearest seed node (doc_id % 7 = 0) to every reachable node —
+    the frontier-expansion primitive under "how far does contamination
+    spread through the similarity graph".
+
+    Spark side is textbook distributed BFS: per round, frontier JOIN edges
+    (thin bigint keys) -> anti-join against the visited set -> next
+    frontier, localCheckpoint per round to stop the 2^rounds lineage
+    blow-up the pagerank/k-core ops already document. Rounds touch only
+    the frontier's adjacency, never the whole graph; the oracle states the
+    same reachability as a recursive CTE, which checks layer-order
+    correctness (a node found at hop h is never also reported deeper)."""
+    edges = _sim_pairs(spark, sf_dir)
+    edges = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    frontier = nodes.filter(F.col("node") % 7 == 0).withColumn("hops", F.lit(0))
+    visited = frontier
+    for _ in range(_BFS_MAX_HOPS):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .distinct()
+        )
+        fresh = nxt.join(visited.select("node"), "node", "left_anti").localCheckpoint()
+        visited = visited.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    return visited.select("node", "hops").groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("hops").cast("int").alias("hops")
+    )

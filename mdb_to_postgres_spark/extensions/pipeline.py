@@ -1103,3 +1103,42 @@ def x_sample_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RESERVOIR_K)
     )
+
+
+_L_DIVERSITY = 3
+
+
+@query(
+    "x_privacy_l_diversity",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sens
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT sens) AS n_sensitive,
+           COUNT(DISTINCT sens) >= {_L_DIVERSITY} AS meets_l
+    FROM s GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def x_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (#196 cont.): x_privacy_k_anonymity checks class
+    SIZES; this checks class VARIETY — every quasi-identifier class
+    (nation, market segment) must contain >= l distinct sensitive values
+    (account-balance band), else membership in the class leaks the
+    sensitive attribute even when k-anonymity holds (the homogeneity
+    attack). Class-level aggregation only — one groupBy on the QI with a
+    distinct-count, no row-level data leaves the executors."""
+    c = T(spark, sf_dir, "customer")
+    s = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("sens"),
+    )
+    return s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct("sens").alias("n_sensitive"),
+        (F.countDistinct("sens") >= _L_DIVERSITY).alias("meets_l"),
+    )

@@ -660,3 +660,113 @@ def x_rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_IV_GRID = 600  # seconds per blocking cell for the interval-overlap join
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, {_EV_SEC} AS s FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, s,
+             CASE WHEN s - LAG(s) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id) > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev
+    ),
+    se AS (
+      SELECT user_id, s,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM f
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(s) AS t_start, MAX(s) AS t_end
+      FROM se GROUP BY user_id, sid
+    ),
+    top AS (
+      SELECT user_id, sid, t_start, t_end, t_end - t_start AS duration_sec
+      FROM iv
+      ORDER BY t_end - t_start DESC, user_id, sid LIMIT 20
+    )
+    SELECT a.user_id, a.sid AS session_id, a.t_start, a.t_end, a.duration_sec,
+           COUNT(*) AS n_overlap_sessions,
+           COUNT(DISTINCT b.user_id) AS n_overlap_users
+    FROM top a JOIN iv b
+      ON b.t_start <= a.t_end AND b.t_end >= a.t_start
+     AND NOT (b.user_id = a.user_id AND b.sid = a.sid)
+    GROUP BY a.user_id, a.sid, a.t_start, a.t_end, a.duration_sec
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with time-grid blocking (#22 cont.): for the
+    20 longest user sessions, count every other session whose [start, end]
+    interval overlaps theirs.
+
+    join_range/join_asof cover point-in-interval; THIS is the
+    interval-x-interval case, and the scale shape is grid blocking: each
+    interval explodes to the 600 s cells it covers (sequence()/explode —
+    cells-per-interval is bounded by duration/grid), the join equates
+    cells, pair duplicates collapse with distinct, and the exact overlap
+    predicate re-verifies survivors — candidate generation is an equi-join
+    a shuffle can partition on cell, never the O(n^2) theta-join a naive
+    BETWEEN formulation plans (NestedLoop asserted absent). The oracle
+    states the same result as the naive predicate, proving the blocking
+    loses no pair (an interval pair that overlaps always shares at least
+    one grid cell)."""
+    from pyspark.sql.window import Window
+
+    ev = events_ts(spark, sf_dir).select("user_id", "event_id", "ts_sec")
+    wlag = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    wsum = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("ts_sec") - F.lag("ts_sec").over(wlag) > 1800, 1
+    ).otherwise(0)
+    iv = (
+        ev.withColumn("sid", F.sum(new_sess).over(wsum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_sec").alias("t_start"), F.max("ts_sec").alias("t_end"))
+    )
+    top = (
+        iv.withColumn("duration_sec", F.col("t_end") - F.col("t_start"))
+        .orderBy(F.desc("duration_sec"), "user_id", "sid")
+        .limit(20)
+    )
+    cells = F.explode(
+        F.sequence(
+            F.floor(F.col("t_start") / _IV_GRID), F.floor(F.col("t_end") / _IV_GRID)
+        )
+    ).alias("cell")
+    a_cells = top.select(
+        F.col("user_id").alias("a_user"), F.col("sid").alias("a_sid"),
+        F.col("t_start").alias("a_start"), F.col("t_end").alias("a_end"),
+        F.col("duration_sec").alias("a_dur"), cells,
+    )
+    b_cells = iv.select(
+        F.col("user_id").alias("b_user"), F.col("sid").alias("b_sid"),
+        F.col("t_start").alias("b_start"), F.col("t_end").alias("b_end"), cells,
+    )
+    pairs = (
+        a_cells.join(b_cells, "cell")
+        .filter(
+            (F.col("b_start") <= F.col("a_end"))
+            & (F.col("b_end") >= F.col("a_start"))
+            & ~((F.col("b_user") == F.col("a_user")) & (F.col("b_sid") == F.col("a_sid")))
+        )
+        .select(
+            "a_user", "a_sid", "a_start", "a_end", "a_dur", "b_user", "b_sid"
+        )
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.col("a_user").alias("user_id"), F.col("a_sid").alias("session_id"),
+        F.col("a_start").alias("t_start"), F.col("a_end").alias("t_end"),
+        F.col("a_dur").alias("duration_sec"),
+    ).agg(
+        F.count("*").alias("n_overlap_sessions"),
+        F.countDistinct("b_user").alias("n_overlap_users"),
+    )
