@@ -30,6 +30,7 @@ from mdb_to_postgres_spark.session import get_session  # noqa: E402
 # headline number; everything else runs.
 _EXCLUDE = {
     "stream_foreach_sink",  # spins the streaming engine + temp sinks
+    "stream_join_windowed_runtime",  # real streaming engine, ditto
     "x_multimodal_binaryfile",  # re-reads raw files, measures IO of env
 }
 

@@ -1194,3 +1194,82 @@ def join_bucketed_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_jaccard(doc_shingles(spark, sf_dir), cand)
+
+
+@query(
+    "x_dedup_cluster_quality_report",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+             FROM walk GROUP BY node),
+    pair_comp AS (
+      SELECT c.component_id, jp.jaccard
+      FROM jp JOIN comp c ON jp.doc_a = c.doc_id
+    ),
+    per AS (
+      SELECT component_id, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(ROUND(jaccard * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS ppm,
+             MIN(jaccard) AS min_jaccard
+      FROM pair_comp GROUP BY component_id
+    ),
+    sizes AS (SELECT component_id, COUNT(*) AS component_size
+              FROM comp GROUP BY component_id)
+    SELECT p.component_id, s.component_size, p.n_pairs, p.min_jaccard,
+           CAST(p.ppm AS DOUBLE) / (p.n_pairs * 1000000.0) AS mean_jaccard,
+           CAST(p.n_pairs AS DOUBLE)
+             / (s.component_size * (s.component_size - 1) / 2.0)
+             AS edge_density
+    FROM per p JOIN sizes s USING (component_id)
+    """,
+)
+def x_dedup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster QA report — the per-snapshot audit a production
+    dedup stage emits before anything is dropped: for every near-dup
+    cluster, its size, how many verified pairs support it, the weakest
+    supporting similarity (min Jaccard — a low value flags a chain of
+    marginal matches gluing unrelated docs into one cluster), the mean
+    similarity (ppm-quantized before summation, the integer-lattice
+    discipline), and the edge density (1.0 = clique = high-confidence
+    cluster; low density = transitive-closure artifact worth review).
+
+    Pure composition over materialized substrates: the cached component
+    table (x_dedup_components) joined with the verified pair list — two
+    thin-key joins and one groupBy; the report is tiny however large the
+    corpus, which is exactly why pipelines can afford to gate every
+    snapshot on it."""
+    jp = x_dedup_near_jaccard(spark, sf_dir)
+    comp = x_dedup_components(spark, sf_dir).select("doc_id", "component_id", "component_size")
+    pair_comp = jp.join(
+        comp.select(F.col("doc_id").alias("doc_a"), "component_id", "component_size"),
+        "doc_a",
+    )
+    per = pair_comp.groupBy("component_id", "component_size").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(F.col("jaccard") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("ppm"),
+        F.min("jaccard").alias("min_jaccard"),
+    )
+    return per.select(
+        "component_id",
+        "component_size",
+        "n_pairs",
+        "min_jaccard",
+        (F.col("ppm").cast("double") / (F.col("n_pairs") * 1000000.0)).alias(
+            "mean_jaccard"
+        ),
+        (
+            F.col("n_pairs").cast("double")
+            / (F.col("component_size") * (F.col("component_size") - 1) / 2.0)
+        ).alias("edge_density"),
+    )

@@ -1142,3 +1142,74 @@ def x_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sens").alias("n_sensitive"),
         (F.countDistinct("sens") >= _L_DIVERSITY).alias("meets_l"),
     )
+
+
+@query(
+    "x_pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source, n_chars,
+             CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ),
+    card AS (
+      SELECT COALESCE(lang, '<all>') AS lang,
+             COALESCE(source, '<all>') AS source,
+             COUNT(*) AS docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(est_tokens) AS BIGINT) AS est_tokens,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM d GROUP BY GROUPING SETS ((lang), (source), ())
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT lang, source, docs, total_chars, est_tokens, min_chars, max_chars,
+           CAST(docs AS DOUBLE) / tot.n AS frac_docs
+    FROM card, tot
+    """,
+)
+def x_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics rollup: the per-language, per-source and
+    overall composition summary (docs, chars, estimated tokens, length
+    extremes, corpus fraction) a training-data release publishes alongside
+    the parquet — produced in ONE grouping-sets pass over the corpus
+    instead of three separate scans (at 100 TB the scan IS the cost; the
+    expand operator triples only the tiny aggregation state, not the
+    input). NULL grouping markers are folded to '<all>' so the result
+    carries no engine-specific NULL-ordering ambiguity."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_tokens"),
+    )
+    card = (
+        d.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("est_tokens").cast("bigint").alias("est_tokens"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "docs",
+            "total_chars",
+            "est_tokens",
+            "min_chars",
+            "max_chars",
+        )
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    return card.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "docs",
+        "total_chars",
+        "est_tokens",
+        "min_chars",
+        "max_chars",
+        (F.col("docs").cast("double") / F.col("n")).alias("frac_docs"),
+    )

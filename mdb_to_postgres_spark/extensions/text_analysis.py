@@ -1682,3 +1682,84 @@ def x_text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "x_text_char_lm_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(lower(text)) - 1),
+                    i -> substr(lower(text), i+1, 2))) AS bigram
+      FROM documents WHERE len(text) >= 2
+    ),
+    model AS (
+      SELECT bigram, COUNT(*) AS c_bg,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY substr(bigram, 1, 1))
+                  AS BIGINT) AS c_ctx
+      FROM bg GROUP BY bigram
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(1000000.0 * m.c_bg / m.c_ctx, 0) AS BIGINT) AS p_ppm
+      FROM bg b JOIN model m USING (bigram)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(p_ppm) AS BIGINT) AS ppm_sum,
+           CAST(SUM(p_ppm) AS DOUBLE) / (COUNT(*) * 1000000.0)
+             AS mean_bigram_prob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x_text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram language-model fluency score: train MLE bigram
+    probabilities P(b|a) = C(ab)/C(a·) on the whole corpus, then score
+    each document by its mean bigram probability — the self-trained
+    fluency screen that flags mojibake/binary-junk documents whose
+    character transitions are improbable under the corpus's own language
+    model (low score = candidate for the quality gate).
+
+    Determinism: each P(b|a) is quantized to parts-per-million BEFORE
+    accumulation (integer lattice, same rationale as
+    x_eval_calibration_bins — a corpus-count ratio times 1e6 never lands
+    exactly on .5), per-doc mass is an exact BIGINT sum, the mean is one
+    IEEE divide. The geometric/perplexity variant is one log away in
+    production but libm logs are not cross-engine bit-stable, so the
+    registered score is the arithmetic mean.
+
+    Scale: the model is at most |alphabet|^2 rows — broadcast to the
+    scoring join, so scoring is map-side; the per-doc reduce keys on
+    doc_id. The bigram explode is the same substrate x_text_qgram_spectrum
+    scans."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i + 1, 2))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    model = counts.withColumn(
+        "c_ctx",
+        F.sum("c_bg")
+        .over(Window.partitionBy(F.substring("bigram", 1, 1)))
+        .cast("bigint"),
+    )
+    scored = bg.join(F.broadcast(model), "bigram").select(
+        "doc_id",
+        F.round(F.lit(1000000.0) * F.col("c_bg") / F.col("c_ctx"), 0)
+        .cast("bigint")
+        .alias("p_ppm"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("p_ppm").cast("bigint").alias("ppm_sum"),
+        (F.sum("p_ppm").cast("double") / (F.count("*") * 1000000.0)).alias(
+            "mean_bigram_prob"
+        ),
+    )

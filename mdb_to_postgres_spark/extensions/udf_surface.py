@@ -197,3 +197,48 @@ def x_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tbl(spark, sf_dir, "events")
     return e.mapInPandas(enrich, schema="event_id: bigint, value: double, value_bucket: bigint")
+
+
+_ARROW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("props_bytes", T.LongType()),
+    ]
+)
+
+
+@query(
+    "x_udf_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CAST(octet_length(CAST(props AS BLOB)) AS BIGINT) AS props_bytes
+    FROM events
+    """,
+)
+def x_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (#67 cont.): the lowest-overhead Python crossing —
+    RecordBatches reach the function as raw pyarrow with NO pandas
+    conversion on either side, the right slot for libraries that speak
+    Arrow natively (tokenizers, polars, DuckDB-in-worker) or when the
+    pandas materialization itself dominates (wide binary/text columns:
+    pandas would copy every cell into Python objects; pyarrow.compute
+    stays in arrow buffers end to end). Same deterministic integer body
+    discipline as the rest of the surface, so the crossing is
+    oracle-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            ev = batch.column("event_id")
+            cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+            nbytes = pc.binary_length(pc.cast(batch.column("props"), pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                [ev, cents, pc.cast(nbytes, pa.int64())],
+                ["event_id", "value_cents", "props_bytes"],
+            )
+
+    e = tbl(spark, sf_dir, "events").select("event_id", "value", "props")
+    return e.mapInArrow(batches, schema=_ARROW_SCHEMA)

@@ -1114,3 +1114,79 @@ def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shipments").isNull().alias("is_gap"),
         )
     )
+
+
+_COMPACT_TARGET = 2000  # target output object size (bytes of text)
+
+
+@query(
+    "etl_compact_small_files",
+    oracle=f"""
+    WITH inv AS (
+      SELECT source AS part, doc_id AS file_id, n_chars AS bytes
+      FROM documents
+    ),
+    pref AS (
+      SELECT part, file_id, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS bytes_before
+      FROM inv
+    ),
+    planned AS (
+      SELECT part, file_id, bytes,
+             CAST(bytes_before // {_COMPACT_TARGET} AS BIGINT) AS target_file
+      FROM pref
+    )
+    SELECT part, target_file,
+           COUNT(*) AS n_source_files,
+           CAST(SUM(bytes) AS BIGINT) AS out_bytes,
+           MIN(file_id) AS first_file_id,
+           MAX(file_id) AS last_file_id
+    FROM planned GROUP BY part, target_file
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: given a file inventory (here each
+    document stands in for one landing-zone object with its byte size),
+    assign source files to target output files by sequential bin-packing
+    — prefix-sum of sizes within a partition, bucket = cumsum // target —
+    and report each planned output file's composition. This is the plan a
+    compaction job executes with a per-bucket repartition + write (the
+    write path itself is etl_partition_overwrite_dynamic's surface); at
+    100 TB the planner is one window pass over the file METADATA (millions
+    of rows, not the data), which is why compaction planning is cheap even
+    when compaction isn't.
+
+    The prefix-sum formulation keeps arrival order, so compacted files
+    preserve ingestion locality (time-adjacent records stay together —
+    the property that keeps downstream time-range scans pruned)."""
+    from pyspark.sql.window import Window
+
+    inv = tbl(spark, sf_dir, "documents").select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = inv.select(
+        "part",
+        "file_id",
+        "bytes",
+        (
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint")
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("bigint")
+        .alias("target_file"),
+    )
+    return planned.groupBy("part", "target_file").agg(
+        F.count("*").alias("n_source_files"),
+        F.sum("bytes").cast("bigint").alias("out_bytes"),
+        F.min("file_id").alias("first_file_id"),
+        F.max("file_id").alias("last_file_id"),
+    )

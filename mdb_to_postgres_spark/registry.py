@@ -267,10 +267,10 @@ _DEBT_TIER_C = {
     "win_funnel_attribution_paths", "win_rfm_segmentation",
     "stream_late_data_quarantine", "agg_theta_sketch_setops",
     "x_sample_reservoir_stratified", "join_interval_overlap",
-    "join_bucketed_dedup_verify", "x_dedup_semantic_lsh",
-    "x_multimodal_phash_dedup", "x_graph_bfs_hops",
+    "join_bucketed_dedup_verify", "x_dedup_cluster_quality_report",
+    "x_udf_map_in_arrow", "x_graph_bfs_hops",
     "etl_compact_small_files", "x_privacy_l_diversity",
-    "x_eval_calibration_bins", "x_text_char_lm_perplexity",
+    "x_eval_calibration_bins", "x_text_char_lm_score",
     "x_pipeline_dataset_card", "stream_join_windowed_runtime",
 }
 

@@ -697,3 +697,46 @@ def stream_late_data_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(late, lateness).otherwise(0)).cast("bigint").alias("total_lateness_sec"),
         F.min(F.when(late, F.col("event_id"))).alias("first_quarantined_id"),
     )
+
+
+@query(
+    "stream_join_windowed_runtime",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, {_EV_SEC} AS a_sec FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, {_EV_SEC} AS b_sec FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.b_sec, p.b_sec - c.a_sec AS gap_sec
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.b_sec >= c.a_sec AND p.b_sec <= c.a_sec + 600
+    )
+    SELECT (b_sec // 3600) * 3600 AS window_start,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(gap_sec) AS BIGINT) AS total_gap_sec,
+           CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
+           CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+    FROM pairs GROUP BY 1
+    """,
+)
+def stream_join_windowed_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream-stream join UNDER THE REAL STREAMING ENGINE (#58c
+    cont.): runtime.windowed_join_counts runs the click-purchase interval
+    join chained into a tumbling-window aggregate as one availableNow
+    streaming query (two stateful operators: join state + window state,
+    both watermark-evicted — tests/test_streaming.py asserts the state
+    metrics), materialized through a memory sink. The oracle is the plain
+    batch SQL for the same semantics: with the corpus's in-order arrival
+    nothing is ever late, so engine output == batch output exactly — the
+    equivalence that certifies the streaming deployment."""
+    from . import runtime
+
+    return runtime.run_to_memory(
+        spark,
+        runtime.windowed_join_counts(spark, sf_dir),
+        "stream_join_windowed_runtime_sink",
+        "append",
+    )

