@@ -418,3 +418,83 @@ def test_no_plan_antipatterns_anywhere(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+# -- round-6 additions ---------------------------------------------------
+
+
+def test_reservoir_uses_window_group_limit(spark):
+    # rn <= k prunes per-partition BEFORE the shuffle (WindowGroupLimit),
+    # so only ~k rows per stratum per input partition ride the exchange.
+    plan = explain_str(QUERIES["x_sample_reservoir_stratified"](spark, ORACLE_SF))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bucketed_dedup_candidate_join_is_exchange_free(spark):
+    # executedPlan string keeps the join keys inline, so the candidate
+    # SMJ segment is addressable (the formatted tree elides them).
+    df = QUERIES["join_bucketed_dedup_verify"](spark, ORACLE_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    # the candidate self-join segment: no Exchange between the bucketed
+    # scans and the SMJ (each task sort-merges one bucket against itself)
+    i = plan.find("SortMergeJoin [bucket_key")
+    assert i >= 0, plan
+    seg = plan[i : i + 900]
+    assert "Exchange" not in seg, seg
+
+
+def test_char_lm_model_join_broadcasts(spark):
+    # the |alphabet|^2-row bigram model must broadcast into the scoring
+    # join; shipping the bigram stream to the model would shuffle the
+    # whole corpus's bigrams twice.
+    plan = explain_str(QUERIES["x_text_char_lm_score"](spark, ORACLE_SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_theta_sketch_k_minima_via_takeordered(spark):
+    # each sketch is a sort+limit: per-partition TakeOrdered partials
+    # merged on the driver — never a global sort of member hashes.
+    plan = explain_str(QUERIES["agg_theta_sketch_setops"](spark, ORACLE_SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_interval_overlap_blocks_on_grid_cells(spark):
+    # candidate generation must be an equi-join (grid cells), never a
+    # nested-loop BETWEEN theta join.
+    plan = explain_str(QUERIES["join_interval_overlap"](spark, ORACLE_SF))
+    assert "NestedLoop" not in plan or "BroadcastNestedLoop" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dataset_card_single_pass_expand(spark):
+    # grouping sets = one scan + Expand, not three scans unioned.
+    plan = explain_str(QUERIES["x_pipeline_dataset_card"](spark, ORACLE_SF))
+    assert "Expand" in plan, plan
+
+
+def test_attribution_reuses_user_partitioning(spark):
+    # sessionize (user) and path stats (user, session) windows: the second
+    # window's ClusteredDistribution is satisfied by the first's
+    # HashPartitioning(user_id) — one exchange feeds both sorts.
+    plan = explain_str(QUERIES["win_funnel_attribution_paths"](spark, ORACLE_SF))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_map_in_arrow_is_arrow_vectorized(spark):
+    plan = explain_str(QUERIES["x_udf_map_in_arrow"](spark, ORACLE_SF))
+    assert "MapInArrow" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_compaction_planner_is_joinless_window_pass(spark):
+    # the planner is metadata-only: one scan, one window, one aggregate —
+    # no join anywhere.
+    plan = explain_str(QUERIES["etl_compact_small_files"](spark, ORACLE_SF))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_l_diversity_is_pure_aggregation(spark):
+    plan = explain_str(QUERIES["x_privacy_l_diversity"](spark, ORACLE_SF))
+    assert "Join" not in plan, plan
