@@ -339,3 +339,105 @@ def x_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select("node", "hops").groupBy(F.col("node").alias("doc_id")).agg(
         F.min("hops").cast("int").alias("hops")
     )
+
+
+@query(
+    "x_graph_link_prediction",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM co
+              UNION ALL SELECT pb, pa FROM co),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    wedge AS (
+      SELECT e1.dst AS part_a, e2.dst AS part_b, COUNT(*) AS common_neighbors
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY e1.dst, e2.dst HAVING COUNT(*) >= 2
+    ),
+    anyco AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nonedge AS (
+      SELECT w.part_a, w.part_b, w.common_neighbors
+      FROM wedge w
+      LEFT JOIN anyco p ON p.pa = w.part_a AND p.pb = w.part_b
+      WHERE p.pa IS NULL
+    )
+    SELECT n.part_a, n.part_b, n.common_neighbors,
+           CAST(n.common_neighbors AS DOUBLE)
+             / (da.d + db.d - n.common_neighbors) AS neighborhood_jaccard
+    FROM nonedge n
+    JOIN deg da ON da.node = n.part_a
+    JOIN deg db ON db.node = n.part_b
+    """,
+)
+def x_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the item co-occurrence graph:
+    part pairs never co-ordered (not even once) but sharing >= 2 strong co-order neighbors,
+    scored by neighborhood Jaccard — the "customers who bought these also
+    bought" candidate generator, and the graph face of
+    x_rec_item_cooccurrence (which scores existing edges; this predicts
+    missing ones). The near-dup graph can't host this op: its clusters
+    are cliques by construction (transitive shingle overlap), so open
+    wedges only exist in a behavioral graph.
+
+    Scale shapes: the edge list keeps only support >= 2 pairs (the
+    min-support prune that keeps the wedge join quadratic in per-hub
+    degree, not corpus size); wedge enumeration is one self-join on the
+    shared hub with a >= 2 common-neighbor floor; known edges drop via
+    anti-join; degrees broadcast back. Integer counts -> one divide."""
+    from ..sources.tables import T as _T
+
+    li = _T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .localCheckpoint()
+    )
+    edges = co.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("src").alias("hub"), F.col("dst").alias("part_a"))
+    e2 = edges.select(F.col("src").alias("hub"), F.col("dst").alias("part_b"))
+    wedge = (
+        e1.join(e2, "hub")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= 2)
+    )
+    anyco = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
+        .distinct()
+    )
+    nonedge = wedge.join(anyco, ["part_a", "part_b"], "left_anti")
+    da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("d_b"))
+    return (
+        nonedge.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("d_a") + F.col("d_b") - F.col("common_neighbors"))
+            ).alias("neighborhood_jaccard"),
+        )
+    )

