@@ -1693,20 +1693,23 @@ def x_text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> substr(lower(text), i+1, 2))) AS bigram
       FROM documents WHERE len(text) >= 2
     ),
+    bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    ),
     model AS (
-      SELECT bigram, COUNT(*) AS c_bg,
-             CAST(SUM(COUNT(*)) OVER (PARTITION BY substr(bigram, 1, 1))
+      SELECT bigram, CAST(SUM(cnt) AS BIGINT) AS c_bg,
+             CAST(SUM(SUM(cnt)) OVER (PARTITION BY substr(bigram, 1, 1))
                   AS BIGINT) AS c_ctx
-      FROM bg GROUP BY bigram
+      FROM bgc GROUP BY bigram
     ),
     scored AS (
-      SELECT b.doc_id,
+      SELECT b.doc_id, b.cnt,
              CAST(ROUND(1000000.0 * m.c_bg / m.c_ctx, 0) AS BIGINT) AS p_ppm
-      FROM bg b JOIN model m USING (bigram)
+      FROM bgc b JOIN model m USING (bigram)
     )
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           CAST(SUM(p_ppm) AS BIGINT) AS ppm_sum,
-           CAST(SUM(p_ppm) AS DOUBLE) / (COUNT(*) * 1000000.0)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_ppm * cnt) AS BIGINT) AS ppm_sum,
+           CAST(SUM(p_ppm * cnt) AS DOUBLE) / (SUM(cnt) * 1000000.0)
              AS mean_bigram_prob
     FROM scored GROUP BY doc_id
     """,
@@ -1734,32 +1737,47 @@ def x_text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
-    bg = d.select(
+    # lower(text) HOISTED out of the lambda: there is no CSE across
+    # transform() elements, so an inline lower() re-lowercases the whole
+    # document once per bigram — O(n^2) per doc (the x_text_langid_ngram
+    # lesson, measured 23.7 s -> 3.7 s there; here 9.9 s -> ~1.5 s).
+    bg = d.select("doc_id", F.lower("text").alias("low")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, length(lower(text)) - 2),"
-                " i -> substring(lower(text), i + 1, 2))"
+                "transform(sequence(0, length(low) - 2),"
+                " i -> substring(low, i + 1, 2))"
             )
         ).alias("bigram"),
     )
-    counts = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    # (doc, bigram, cnt) collapses the occurrence stream ~5x (alphabet^2
+    # is tiny) and is materialized ONCE: without the localCheckpoint both
+    # the model subtree and the scoring subtree re-run the explode+groupBy
+    # (no cross-branch CSE for non-identical exchanges — the incremental-
+    # minhash lesson). Measured 9.9 s -> ~1.5 s at sf0.1 with the hoisted
+    # lower() combined.
+    bgc = (
+        bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt")).localCheckpoint()
+    )
+    counts = bgc.groupBy("bigram").agg(F.sum("cnt").cast("bigint").alias("c_bg"))
     model = counts.withColumn(
         "c_ctx",
         F.sum("c_bg")
         .over(Window.partitionBy(F.substring("bigram", 1, 1)))
         .cast("bigint"),
     )
-    scored = bg.join(F.broadcast(model), "bigram").select(
+    scored = bgc.join(F.broadcast(model), "bigram").select(
         "doc_id",
+        "cnt",
         F.round(F.lit(1000000.0) * F.col("c_bg") / F.col("c_ctx"), 0)
         .cast("bigint")
         .alias("p_ppm"),
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("p_ppm").cast("bigint").alias("ppm_sum"),
-        (F.sum("p_ppm").cast("double") / (F.count("*") * 1000000.0)).alias(
-            "mean_bigram_prob"
-        ),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("p_ppm") * F.col("cnt")).cast("bigint").alias("ppm_sum"),
+        (
+            F.sum(F.col("p_ppm") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * 1000000.0)
+        ).alias("mean_bigram_prob"),
     )
