@@ -393,22 +393,14 @@ def x_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree, not corpus size); wedge enumeration is one self-join on the
     shared hub with a >= 2 common-neighbor floor; known edges drop via
     anti-join; degrees broadcast back. Integer counts -> one divide."""
-    from ..sources.tables import T as _T
+    # ONE pass over the order-pair stream, shared with
+    # x_rec_item_cooccurrence via the session-cached substrate: the
+    # strong-edge set (c >= 2) and the any-co-occurrence anti-join side
+    # both derive from the same counted pair table (recomputing the
+    # basket self-join per consumer doubled this query's cost).
+    from ..operators.joins import order_part_pairs
 
-    li = _T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    # ONE pass over the order-pair stream: the strong-edge set (c >= 2)
-    # and the any-co-occurrence set both derive from the same counted
-    # pair table, materialized once — recomputing the self-join for the
-    # anti-join side doubled this query's cost (4.5 s -> ~2.5 s at sf0.1).
-    pairs_all = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()
-    )
+    pairs_all = order_part_pairs(spark, sf_dir)
     co = pairs_all.filter(F.col("c") >= 2)
     edges = co.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
