@@ -859,33 +859,32 @@ def x_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     set or the sketch's paired top-k heap."""
     d = T(spark, sf_dir, "documents")
     tok = d.select(F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
-    cells = tok.select(
-        F.posexplode(
-            F.expr(
-                "array("
-                + ", ".join(_cms_bucket_sql(dd, "term", False) for dd in range(_CMS_D))
-                + ")"
-            )
-        ).alias("d", "b")
-    ).groupBy("d", "b").agg(F.count("*").alias("c"))
-    vocab = tok.groupBy("term").agg(F.count("*").alias("exact"))
-    probe = vocab.select(
-        "term",
-        "exact",
-        F.posexplode(
-            F.expr(
-                "array("
-                + ", ".join(_cms_bucket_sql(dd, "term", False) for dd in range(_CMS_D))
-                + ")"
-            )
-        ).alias("d", "b"),
+    # One aggregation collapses the occurrence stream; the sketch cells
+    # derive from the VOCAB (sum of exact counts per bucket == occurrence
+    # count per bucket), so the 4 md5 bucket hashes run once per distinct
+    # term, not once per token occurrence (~50x fewer hashes here;
+    # measured 1.6 s -> ~0.6 s at sf0.1). The checkpoint stops the cells/
+    # probe/total branches re-running the explode+groupBy.
+    vocab = tok.groupBy("term").agg(F.count("*").alias("exact")).localCheckpoint()
+    buckets = F.posexplode(
+        F.expr(
+            "array("
+            + ", ".join(_cms_bucket_sql(dd, "term", False) for dd in range(_CMS_D))
+            + ")"
+        )
     )
+    cells = (
+        vocab.select("exact", buckets.alias("d", "b"))
+        .groupBy("d", "b")
+        .agg(F.sum("exact").cast("bigint").alias("c"))
+    )
+    probe = vocab.select("term", "exact", buckets.alias("d", "b"))
     est = (
         probe.join(F.broadcast(cells), ["d", "b"])
         .groupBy("term", "exact")
         .agg(F.min("c").alias("est_count"))
     )
-    total = tok.agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("exact").cast("bigint").alias("n"))
     return (
         est.crossJoin(F.broadcast(total))
         .filter(F.col("est_count") * 200 >= F.col("n"))
