@@ -27,6 +27,14 @@ REPR = [
     ("x_rec_item_cooccurrence", "basket-blocked pair generation; stats joins broadcast"),
     ("x_privacy_k_anonymity", "class-level audit: pure aggregation, zero joins"),
     ("x_text_bm25_retrieval", "index-table broadcast joins + TakeOrdered top-k"),
+    # round-6 additions
+    ("join_bucketed_dedup_verify", "bucketed signature table: candidate SMJ with ZERO Exchange"),
+    ("x_sample_reservoir_stratified", "WindowGroupLimit prunes per partition before the shuffle"),
+    ("agg_theta_sketch_setops", "KMV set algebra: TakeOrdered k-minima, members never shuffle"),
+    ("join_interval_overlap", "interval-x-interval via grid-cell equi-join, no theta join"),
+    ("win_funnel_attribution_paths", "two running windows share ONE user_id exchange"),
+    ("x_pipeline_dataset_card", "grouping sets: single scan + Expand"),
+    ("x_text_char_lm_score", "broadcast bigram model; scoring map-side; counted stream"),
 ]
 
 
