@@ -331,3 +331,27 @@ def test_maxsim_bounded_by_token_count(spark):
     for _, grp in out.groupby("q_doc"):
         g = grp.sort_values("rn")
         assert (g.maxsim.diff().dropna() <= 1e-12).all()
+
+
+def test_decode_stub_oracle_handles_empty_document():
+    # ADVICE round-5: `i % n` is NULL in DuckDB for a zero-length doc while
+    # the Spark stub emits the zero lattice. greatest(n, 1) must keep the
+    # two in lockstep — pinned here against a synthetic empty-text corpus
+    # (none exists in the shipped fixtures, which is exactly why this needs
+    # a fixture of its own).
+    import duckdb
+
+    from mdb_to_postgres_spark.registry import all_oracles
+
+    sql = all_oracles()["x_multimodal_decode_stub"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, ''), (2, 'ab'))"
+        " AS t(doc_id, text)"
+    )
+    rows = {r[0]: r for r in con.execute(sql).fetchall()}
+    # empty doc: width/height floor, 1 frame, all-zero feature lattice
+    assert rows[1][1:] == (16, 16, 1, "0,0,0,0,0,0,0,0"), rows[1]
+    # non-empty doc: features cycle over the payload bytes (ascii a=97 -> 0,
+    # b=98 -> 1)
+    assert rows[2][4] == "0,1,0,1,0,1,0,1", rows[2]
