@@ -464,6 +464,9 @@ def _simhash_oracle() -> str:
     """
 
 
+_SIMHASH_CHUNK_CACHE: dict = {}
+
+
 def _simhash_pairs(spark: SparkSession, sf_dir: str, h_sql: str) -> DataFrame:
     """Shared SimHash topology: token -> 60-bit hash (``h_sql``, a SQL
     expression over column ``tok``) -> per-bit +/-1 sums -> sign signature
@@ -497,10 +500,21 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str, h_sql: str) -> DataFrame:
         f"shiftrightunsigned(simhash, {width * c}) & {(1 << width) - 1}"
         for c in range(_SIMHASH_CHUNKS)
     )
-    chunks = sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.expr(f"array({chunk_arr})")).alias("chunk_id", "chunk_val"),
+    # The chunked signature table is a per-(session, sf, kernel) substrate
+    # (the signature build — token explode + 60-way bit sums — dominates
+    # both variants; like the banded MinHash index it is the table a
+    # production run persists once per snapshot).
+    from ..sources.tables import session_cache_get
+
+    chunks = session_cache_get(
+        _SIMHASH_CHUNK_CACHE,
+        spark,
+        f"{sf_dir}::{h_sql}",
+        lambda: sim.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(F.expr(f"array({chunk_arr})")).alias("chunk_id", "chunk_val"),
+        ).localCheckpoint(),
     )
     cand = (
         chunks.alias("x")
