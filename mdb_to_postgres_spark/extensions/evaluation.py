@@ -416,3 +416,152 @@ def x_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_sum").cast("double") / (F.col("n") * 1000.0)).alias("mean_score"),
         (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
     )
+
+
+# Deterministic Poisson(1) bootstrap: each (row, replicate) draws its
+# resample multiplicity from the inverse CDF evaluated on a 32-bit
+# md5-uniform lattice. The thresholds are FIXED integer constants
+# (cumulative Poisson(1) probabilities scaled by 2^32, tail capped at 5)
+# shared verbatim with the oracle — the approximation quality of the cap
+# is statistically irrelevant and deterministically identical on both
+# engines, which is the property that matters.
+_BOOT_R = 100
+_POIS_T = (1580030169, 3160060337, 3950075422, 4213413783, 4279249953)
+
+
+def _pois_case_sql(h: str) -> str:
+    return (
+        f"CASE WHEN {h} < {_POIS_T[0]} THEN 0 WHEN {h} < {_POIS_T[1]} THEN 1 "
+        f"WHEN {h} < {_POIS_T[2]} THEN 2 WHEN {h} < {_POIS_T[3]} THEN 3 "
+        f"WHEN {h} < {_POIS_T[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "x_eval_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS s_ppm
+      FROM embeddings
+    ),
+    reps AS (
+      SELECT vec_id, s_ppm, CAST(g.r AS INTEGER) AS r
+      FROM s CROSS JOIN generate_series(1, {_BOOT_R}) g(r)
+    ),
+    weighted AS (
+      SELECT r, s_ppm,
+             {_pois_case_sql("('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)), 1, 8))::BIGINT")}
+               AS w
+      FROM reps
+    ),
+    per AS (
+      SELECT r, CAST(SUM(w * s_ppm) AS BIGINT) AS ws,
+             CAST(SUM(w) AS BIGINT) AS nw
+      FROM weighted GROUP BY r
+    ),
+    means AS (
+      SELECT r, CAST(ws AS DOUBLE) / (nw * 1000000.0) AS m FROM per
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM means
+    ),
+    ci AS (
+      SELECT MAX(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+             MAX(CASE WHEN rk = 98 THEN m END) AS ci_hi
+      FROM ranked
+    ),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s_ppm) AS BIGINT) AS ps
+      FROM s
+    )
+    SELECT point.n, {_BOOT_R} AS n_replicates,
+           CAST(point.ps AS DOUBLE) / (point.n * 1000000.0) AS point_mean,
+           ci.ci_lo, ci.ci_hi, ci.ci_hi - ci.ci_lo AS ci_width
+    FROM point CROSS JOIN ci
+    """,
+)
+def x_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a corpus metric (mean
+    model score), the MapReduce-era resampling scheme (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    instead of materializing B resampled corpora, every row draws B
+    independent Poisson(1) multiplicities, so ALL replicates accumulate
+    in ONE pass with map-side partial aggregation — the shuffle carries
+    B rows per partition, never the data.
+
+    Determinism discipline: the multiplicity is the Poisson inverse CDF
+    on a 32-bit md5 lattice (fixed integer thresholds, tail capped — the
+    SAME constants in both engines, so every replicate is bit-identical
+    and resume-identical); the score rides the ppm integer lattice, each
+    replicate mean is ONE IEEE divide of exact BIGINTs, and the 95% CI
+    is an exact order statistic (ranks 3/98 of the 100 replicate means
+    under a total order), not an interpolated percentile — interpolation
+    is where engines disagree. At 100 TB the explode is just a column
+    macro: rows*B never hits the shuffle because the per-partition
+    combine collapses to B partial sums."""
+    e = T(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 2).cast("double") * 1000000, 0)
+        .cast("bigint")
+        .alias("s_ppm"),
+    )
+    reps = s.select(
+        "vec_id",
+        "s_ppm",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.col("vec_id").cast("string"), F.col("r").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        F.when(h < _POIS_T[0], 0)
+        .when(h < _POIS_T[1], 1)
+        .when(h < _POIS_T[2], 2)
+        .when(h < _POIS_T[3], 3)
+        .when(h < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    per = (
+        reps.select("r", "s_ppm", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("s_ppm")).cast("bigint").alias("ws"),
+            F.sum("w").cast("bigint").alias("nw"),
+        )
+    )
+    means = per.select(
+        "r", (F.col("ws").cast("double") / (F.col("nw") * 1000000.0)).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "r")).alias("rk")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 98, F.col("m"))).alias("ci_hi"),
+    )
+    point = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s_ppm").cast("bigint").alias("ps"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.lit(_BOOT_R).alias("n_replicates"),
+        (F.col("ps").cast("double") / (F.col("n") * 1000000.0)).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+        (F.col("ci_hi") - F.col("ci_lo")).alias("ci_width"),
+    )

@@ -1418,3 +1418,114 @@ def x_sim_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("double").alias("max_cosine"),
         F.min("c").cast("double").alias("min_cosine"),
     )
+
+
+@query(
+    "x_embedding_pca_covariance",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+             CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+    ),
+    pp AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(ROUND(a.v * b.v * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS spp
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    marg AS (
+      SELECT i, CAST(SUM(CAST(ROUND(v * 1000000, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM xs GROUP BY i
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT pp.i, pp.j, n.n, pp.spp, ma.s AS si, mb.s AS sj,
+           (CAST(pp.spp AS DOUBLE) / 1000000.0
+            - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE)
+              / (1000000000000.0 * n.n))
+           / (n.n - 1) AS cov
+    FROM pp
+    JOIN marg ma ON pp.i = ma.i
+    JOIN marg mb ON pp.j = mb.i
+    CROSS JOIN n
+    """,
+)
+def x_embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan covariance matrix of the embedding corpus — the PCA /
+    whitening / decorrelation statistic (all 64x65/2 upper-triangle
+    cells), accumulated as mergeable sums so 100 TB of vectors reduce to
+    d^2 partials per partition: the vectors themselves NEVER ride the
+    shuffle, only 2,080 (i, j, partial-sum) cells per map task. The
+    eigen-step (power iteration on the returned 64x64 matrix) is a
+    driver-side O(d^2) epilogue on this output — asserted against numpy
+    in tests, exactly how a production pipeline whitens embeddings
+    before indexing or trains a PCA projection for dim reduction.
+
+    Exactness: every cross product x_i*x_j is computed in double
+    (identical promotion from the stored float32 on both engines),
+    ppm-quantized, THEN summed — exact BIGINT lattice, add-order-free.
+    The covariance finishes as one fixed-shape double expression of
+    those exact integers, so partial-aggregation order can never leak
+    into the result. The pair expansion is a generator projection
+    (nested transform, no self-join, no shuffle before the aggregate)."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(64)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    F.round(
+                        F.element_at(F.col("emb"), i)
+                        * F.element_at(F.col("emb"), j)
+                        * 1000000,
+                        0,
+                    )
+                    .cast("bigint")
+                    .alias("p_ppm"),
+                ),
+            ),
+        )
+    )
+    pp = (
+        e.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.p_ppm")
+        .groupBy("i", "j")
+        .agg(F.sum("p_ppm").cast("bigint").alias("spp"))
+    )
+    xs = e.select("vec_id", F.posexplode("emb").alias("pos", "v"))
+    marg = xs.groupBy((F.col("pos") + 1).cast("int").alias("i")).agg(
+        F.sum(F.round(F.col("v") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("s")
+    )
+    n = e.agg(F.count("*").cast("bigint").alias("n"))
+    ma = marg.select(F.col("i").alias("mi"), F.col("s").alias("si"))
+    mb = marg.select(F.col("i").alias("mj"), F.col("s").alias("sj"))
+    return (
+        pp.join(F.broadcast(ma), pp.i == ma.mi)
+        .join(F.broadcast(mb), pp.j == mb.mj)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "n",
+            "spp",
+            "si",
+            "sj",
+            (
+                (
+                    F.col("spp").cast("double") / 1000000.0
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double")
+                    / (F.lit(1000000000000.0) * F.col("n"))
+                )
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+    )

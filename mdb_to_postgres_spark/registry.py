@@ -276,6 +276,17 @@ _DEBT_TIER_C = {
 }
 
 
+# Round-6 late additions (second session): tier 4, behind the §2.15 rows —
+# the same pacing contract one level deeper: nothing registered this late
+# may displace ANY older never-checked query from the driver window.
+_DEBT_TIER_D = {
+    "x_eval_bootstrap_ci", "x_dedup_chunk_cdc", "x_embedding_pca_covariance",
+    "join_bitemporal", "win_kaplan_meier", "x_graph_label_propagation",
+    "scan_xml", "etl_row_lineage", "etl_merkle_sync_diff",
+    "stream_outer_join_watermark",
+}
+
+
 def _debt_tier(name: str) -> int:
     if name in _DEBT_TIER_A:
         return 0
@@ -283,6 +294,8 @@ def _debt_tier(name: str) -> int:
         return 1
     if name in _DEBT_TIER_C:
         return 3
+    if name in _DEBT_TIER_D:
+        return 4
     return 2
 
 
