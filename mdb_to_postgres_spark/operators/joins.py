@@ -797,3 +797,98 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_overlap_sessions"),
         F.countDistinct("b_user").alias("n_overlap_users"),
     )
+
+
+# Fixed bitemporal probe grid: (valid-as-of V, known-as-of T). T before,
+# at, and well after V exercises all three late-arrival regimes.
+_BITEMPORAL_PROBES = (
+    (1, "1998-01-01", "1998-01-01"),
+    (2, "1998-01-01", "1999-06-01"),
+    (3, "2000-01-01", "2000-01-03"),
+)
+
+
+@query(
+    "join_bitemporal",
+    oracle=f"""
+    WITH probes(probe_id, v_date, t_date) AS (
+      VALUES {", ".join(f"({p}, DATE '{v}', DATE '{t}')" for p, v, t in _BITEMPORAL_PROBES)}
+    ),
+    versions AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INTEGER)
+               AS tx_date,
+             o_orderkey AS version_key
+      FROM orders
+    ),
+    hits AS (
+      SELECT p.probe_id, p.v_date, p.t_date, v.o_custkey,
+             v.version_key, v.valid_from, v.tx_date,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id, v.o_custkey
+                                ORDER BY v.valid_from DESC, v.tx_date DESC,
+                                         v.version_key DESC) AS rn
+      FROM probes p JOIN versions v
+        ON v.valid_from <= p.v_date AND v.tx_date <= p.t_date
+    )
+    SELECT probe_id, v_date, t_date, o_custkey, version_key, valid_from,
+           CAST(date_diff('day', valid_from, tx_date) AS BIGINT)
+             AS days_late
+    FROM hits WHERE rn = 1
+    """,
+)
+def join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point lookup (#23/#94 cont.): 'what was each customer's
+    current version as of valid time V, as the warehouse KNEW it at
+    transaction time T' — the audit/backfill query a bitemporal
+    warehouse answers without rewriting history. Versions are derived
+    from orders (valid_from = order date; tx_date simulates late
+    recording by orderkey % 5 days), probed at a fixed (V, T) grid
+    covering as-of-now, long-settled, and mid-settlement regimes.
+
+    Shape: the 3-row probe grid broadcasts against the version table
+    (never the reverse); resolution is the standard bitemporal argmax —
+    latest valid_from, tie-broken by latest tx_date then version key, as
+    ONE row_number over the (probe, custkey) partition. At 100 TB this
+    is a broadcast-join + one custkey-partitioned window: no
+    version-x-version self-join, no interval explosion."""
+    from pyspark.sql.window import Window
+
+    probes = spark.createDataFrame(
+        [(p, v, t) for p, v, t in _BITEMPORAL_PROBES],
+        "probe_id INT, v_date STRING, t_date STRING",
+    ).select(
+        "probe_id",
+        F.col("v_date").cast("date").alias("v_date"),
+        F.col("t_date").cast("date").alias("t_date"),
+    )
+    versions = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 5).cast("int")
+        ).alias("tx_date"),
+        F.col("o_orderkey").alias("version_key"),
+    )
+    hits = versions.join(
+        F.broadcast(probes),
+        (F.col("valid_from") <= F.col("v_date"))
+        & (F.col("tx_date") <= F.col("t_date")),
+    )
+    w = Window.partitionBy("probe_id", "o_custkey").orderBy(
+        F.desc("valid_from"), F.desc("tx_date"), F.desc("version_key")
+    )
+    return (
+        hits.select(
+            "probe_id",
+            "v_date",
+            "t_date",
+            "o_custkey",
+            "version_key",
+            "valid_from",
+            F.datediff("tx_date", "valid_from").cast("bigint").alias("days_late"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1688,3 +1688,114 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         segment.alias("segment"),
     )
+
+
+@query(
+    "win_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    nxt AS (
+      SELECT o_custkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS nd
+      FROM orders
+    ),
+    obs AS (
+      SELECT CAST(date_diff('day', o_orderdate,
+                            COALESCE(nd, (SELECT maxd FROM mx))) AS BIGINT) AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM nxt
+    ),
+    per_t AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_events, n_censored,
+             CAST(SUM(n_at) OVER (ORDER BY t DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM per_t
+    ),
+    hz AS (
+      SELECT t, n_risk, n_events, n_censored,
+             CAST(n_events AS DOUBLE) / n_risk AS hazard,
+             CAST(ROUND(1000000.0 * n_events / n_risk, 0) AS BIGINT) AS hz_ppm
+      FROM risk
+    )
+    SELECT t, n_risk, n_events, n_censored, hazard,
+           CAST(SUM(hz_ppm) OVER (ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+             AS cum_hazard_ppm
+    FROM hz
+    """,
+)
+def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis over order inter-arrival gaps (the churn /
+    time-to-next-purchase table): each order's observation is days to
+    the customer's next order, right-censored at the corpus horizon for
+    the last order — then the classic risk-set table per distinct
+    duration t: subjects still at risk (suffix-sum of counts over t,
+    descending), events, censorings, the discrete hazard d/n, and the
+    Nelson-Aalen cumulative hazard.
+
+    Exactness: the counting process is all BIGINTs; the hazard is ONE
+    divide per row; the cumulative hazard accumulates ppm-quantized
+    hazards (integer lattice — a running double sum would expose the
+    engines' window-sum association). The per-customer LEAD rides one
+    custkey shuffle; the risk table is tiny (distinct durations), so its
+    global suffix-sum window is a metadata pass — at 100 TB the same
+    rollup is the two-phase ordered sum over a range-partitioned sort of
+    a few thousand rows."""
+    o = T(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("nd"),
+    )
+    obs = nxt.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.coalesce(F.col("nd"), F.col("maxd")), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_at"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "n_events",
+        "n_censored",
+        F.sum("n_at").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    hz = risk.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        (F.col("n_events").cast("double") / F.col("n_risk")).alias("hazard"),
+        F.round(F.lit(1000000.0) * F.col("n_events") / F.col("n_risk"), 0)
+        .cast("bigint")
+        .alias("hz_ppm"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hz.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "hazard",
+        F.sum("hz_ppm").over(w_asc).cast("bigint").alias("cum_hazard_ppm"),
+    )
