@@ -434,3 +434,98 @@ def x_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighborhood_jaccard"),
         )
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    cand{k} AS (
+      SELECT e.dst AS node, l.lab FROM edges e JOIN {prev} l ON l.node = e.src
+      UNION ALL SELECT node, lab FROM {prev}
+    ),
+    cnt{k} AS (SELECT node, lab, COUNT(*) AS c FROM cand{k} GROUP BY node, lab),
+    l{k} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM cnt{k}
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM co
+              UNION ALL SELECT pb, pa FROM co),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {", ".join(rounds)},
+    sizes AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM {prev} GROUP BY lab)
+    SELECT f.node, f.lab AS community, s.community_size
+    FROM {prev} f JOIN sizes s ON f.lab = s.lab
+    """
+
+
+@query("x_graph_label_propagation", oracle=_lpa_oracle())
+def x_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the strong item co-occurrence graph — the density-seeking
+    complement to x_dedup_components (connectivity) and the community
+    face of the behavioral graph that hosts link prediction: each node
+    adopts the most frequent label among its neighbors-plus-self per
+    round, ties broken to the smallest label (the determinism knob the
+    async textbook variant lacks — synchronous rounds + total-order
+    tie-break = bit-identical labels at any parallelism, resumable
+    mid-iteration).
+
+    Scale shape per round: one thin (node, label) join against the edge
+    list, one (node, label) count, one per-node argmax window — all keyed
+    on node ids, labels are 8-byte ints, localCheckpoint cuts the
+    3^rounds lineage blow-up (the pagerank lesson). Community sizes are
+    a final thin aggregate."""
+    from ..operators.joins import order_part_pairs
+
+    co = order_part_pairs(spark, sf_dir).filter(F.col("c") >= 2)
+    edges = co.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(_LPA_ROUNDS):
+        cand = edges.join(
+            labels.select(F.col("node").alias("src"), "lab"), "src"
+        ).select(F.col("dst").alias("node"), "lab").unionByName(
+            labels.select("node", "lab")
+        )
+        cnt = cand.groupBy("node", "lab").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            cnt.select("node", "lab", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lab").select(
+        "node", F.col("lab").alias("community"), "community_size"
+    )
