@@ -1213,3 +1213,125 @@ def x_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_chars",
         (F.col("docs").cast("double") / F.col("n")).alias("frac_docs"),
     )
+
+
+# Merkle anti-entropy tree: 256 md5-of-id leaf buckets, 16-way fan-in to
+# level 1, root at level 2. Row digest modulus = 10 hex chars (40 bits)
+# so a leaf/level/root SUM can never overflow BIGINT (Spark wraps
+# silently under non-ANSI where DuckDB widens to HUGEINT).
+_MERKLE_LEAVES = 256
+_MERKLE_FANIN = 16
+
+_MERKLE_LEAF_SQL = """
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || md5(text)),
+                                      1, 10))::BIGINT) AS BIGINT) AS ck
+      FROM {src} GROUP BY 1
+"""
+
+
+@query(
+    "etl_merkle_sync_diff",
+    oracle=f"""
+    WITH v2 AS ({_V2_SQL}),
+    l1 AS ({_MERKLE_LEAF_SQL.format(src="documents")}),
+    l2 AS ({_MERKLE_LEAF_SQL.format(src="v2")}),
+    leaf AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS node_id,
+             COALESCE(a.n, 0) AS n_v1, COALESCE(b.n, 0) AS n_v2,
+             COALESCE(a.ck, 0) AS ck_v1, COALESCE(b.ck, 0) AS ck_v2
+      FROM l1 a FULL OUTER JOIN l2 b ON a.bucket = b.bucket
+    ),
+    mid AS (
+      SELECT node_id // {_MERKLE_FANIN} AS node_id,
+             CAST(SUM(n_v1) AS BIGINT) AS n_v1, CAST(SUM(n_v2) AS BIGINT) AS n_v2,
+             CAST(SUM(ck_v1) AS BIGINT) AS ck_v1, CAST(SUM(ck_v2) AS BIGINT) AS ck_v2
+      FROM leaf GROUP BY 1
+    ),
+    root AS (
+      SELECT CAST(0 AS BIGINT) AS node_id,
+             CAST(SUM(n_v1) AS BIGINT) AS n_v1, CAST(SUM(n_v2) AS BIGINT) AS n_v2,
+             CAST(SUM(ck_v1) AS BIGINT) AS ck_v1, CAST(SUM(ck_v2) AS BIGINT) AS ck_v2
+      FROM mid
+    ),
+    tree AS (
+      SELECT 0 AS level, * FROM leaf
+      UNION ALL SELECT 1 AS level, * FROM mid
+      UNION ALL SELECT 2 AS level, * FROM root
+    )
+    SELECT level, CAST(node_id AS BIGINT) AS node_id, n_v1, n_v2, ck_v1, ck_v2
+    FROM tree WHERE ck_v1 <> ck_v2 OR n_v1 <> n_v2
+    """,
+)
+def etl_merkle_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree anti-entropy diff (Dynamo/Cassandra repair, applied
+    to corpus sync): both corpus versions roll into a 3-level hash tree
+    (256 md5-bucketed leaves, 16-way fan-in, root), and the output is
+    exactly the DIFFERING subtree — the node set a replica pair
+    exchanges to find out-of-sync row ranges in O(tree) messages instead
+    of O(rows). Leaf checksums are order-independent additive digests
+    (overflow-proof modulus), so every level is a re-aggregation of the
+    level below: the whole tree is ONE scan per version plus two thin
+    rollups, and at 100 TB the leaves land pre-partitioned by the same
+    md5 band the sync protocol shards on.
+
+    Composes with x_dataset_diff: this op finds WHICH buckets disagree
+    at metadata cost; the row-level diff then runs only inside those
+    buckets."""
+    digest = lambda: F.conv(  # noqa: E731 — tiny shared column macro
+        F.substring(
+            F.md5(
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.md5("text"))
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = lambda: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % _MERKLE_LEAVES
+    )
+
+    def leaf_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(bucket().alias("bucket"), digest().alias("dg"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("dg").cast("bigint").alias("ck"),
+            )
+        )
+
+    v1 = leaf_of(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    v2 = leaf_of(_corpus_v2(spark, sf_dir).select("doc_id", "text"))
+    a, b = v1.alias("a"), v2.alias("b")
+    leaf = a.join(b, F.col("a.bucket") == F.col("b.bucket"), "full_outer").select(
+        F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("node_id"),
+        F.coalesce(F.col("a.n"), F.lit(0)).cast("bigint").alias("n_v1"),
+        F.coalesce(F.col("b.n"), F.lit(0)).cast("bigint").alias("n_v2"),
+        F.coalesce(F.col("a.ck"), F.lit(0)).cast("bigint").alias("ck_v1"),
+        F.coalesce(F.col("b.ck"), F.lit(0)).cast("bigint").alias("ck_v2"),
+    )
+    sums = [
+        F.sum("n_v1").cast("bigint").alias("n_v1"),
+        F.sum("n_v2").cast("bigint").alias("n_v2"),
+        F.sum("ck_v1").cast("bigint").alias("ck_v1"),
+        F.sum("ck_v2").cast("bigint").alias("ck_v2"),
+    ]
+    mid = leaf.groupBy(
+        F.floor(F.col("node_id") / _MERKLE_FANIN).cast("bigint").alias("node_id")
+    ).agg(*sums)
+    root = mid.agg(*sums).select(F.lit(0).cast("bigint").alias("node_id"), "*")
+    tree = (
+        leaf.select(F.lit(0).alias("level"), "*")
+        .unionByName(mid.select(F.lit(1).alias("level"), "*"))
+        .unionByName(root.select(F.lit(2).alias("level"), "*"))
+    )
+    return tree.filter(
+        (F.col("ck_v1") != F.col("ck_v2")) | (F.col("n_v1") != F.col("n_v2"))
+    ).select("level", "node_id", "n_v1", "n_v2", "ck_v1", "ck_v2")

@@ -1254,3 +1254,96 @@ def etl_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@query("scan_xml", oracle="SELECT * FROM nation")
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (#7d) via Spark 4's built-in XML source (spark-xml merged
+    into core in 4.0): write nation as element-per-row XML once per sf,
+    read it back with the source's explicit schema (extracted-schema
+    discipline — inference-on-read is how XML ingests silently widen
+    ints to strings). Nation is the all-int/string table, so the
+    round-trip is textually exact; the rowTag is the one mandatory
+    option (XML has no default record framing)."""
+    src = tbl(spark, sf_dir, "nation")
+    path = _cache_dir(sf_dir, "nation_xml")
+    if not _cache_complete(path):
+        src.write.mode("overwrite").format("xml").option("rowTag", "row").save(path)
+    return spark.read.format("xml").option("rowTag", "row").schema(src.schema).load(path)
+
+
+# Row-lineage checksum modulus: 10 hex chars = 40 bits per row, so even
+# 10^6 rows sum below 2^60 — Spark's non-ANSI BIGINT SUM wraps silently
+# where DuckDB widens to HUGEINT, so the modulus must make overflow
+# impossible, not just unlikely.
+_LINEAGE_BUCKET = 2048
+
+
+@query(
+    "etl_row_lineage",
+    oracle=f"""
+    WITH src AS (
+      SELECT 'orders.parquet' AS file_name,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS ri,
+             o_orderkey
+      FROM orders
+    )
+    SELECT file_name, CAST(ri // {_LINEAGE_BUCKET} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(ri) AS BIGINT) AS min_ri,
+           CAST(MAX(ri) AS BIGINT) AS max_ri,
+           CAST(SUM(('0x' || substr(md5(file_name || '#' || CAST(ri AS VARCHAR)),
+                                    1, 10))::BIGINT) AS BIGINT) AS lineage_ck,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM src
+    GROUP BY file_name, ri // {_LINEAGE_BUCKET}
+    """,
+)
+def etl_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level lineage manifest (#78 cont.): every ingested row gets a
+    provenance identity md5(source file # position-in-file) from Spark's
+    zero-cost `_metadata` columns (no shuffle, no monotonically_
+    increasing_id nondeterminism — the file/offset pair IS the stable
+    identity a 100 TB ingest can re-derive on every re-read). The
+    manifest rolls the corpus into per-(file, 2048-row bucket) rows:
+    counts, position ranges, an order-independent additive lineage
+    checksum, and a content checksum — the audit table an incremental
+    loader diffs to prove 'same rows, same places' after a re-ingest.
+
+    The DuckDB oracle can't call read_parquet(file_row_number=true)
+    through the driver's pre-registered views, so it re-derives the
+    position from the write order's sort key (orders.parquet is written
+    sorted by o_orderkey — verified identical to file_row_number at
+    every sf) — two engines agreeing on lineage from independent
+    derivations is the point of the check."""
+    src = tbl(spark, sf_dir, "orders").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").cast("bigint").alias("ri"),
+        "o_orderkey",
+    )
+    lin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("file_name"), F.col("ri").cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        src.select(
+            "file_name",
+            F.floor(F.col("ri") / _LINEAGE_BUCKET).cast("bigint").alias("bucket"),
+            "ri",
+            lin.alias("lin"),
+            "o_orderkey",
+        )
+        .groupBy("file_name", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("ri").cast("bigint").alias("min_ri"),
+            F.max("ri").cast("bigint").alias("max_ri"),
+            F.sum("lin").cast("bigint").alias("lineage_ck"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
