@@ -740,3 +740,55 @@ def stream_join_windowed_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_join_windowed_runtime_sink",
         "append",
     )
+
+
+@query(
+    "stream_outer_join_watermark",
+    oracle=f"""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           ({_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')})
+             AS gap_sec,
+           CASE WHEN b.event_id IS NULL THEN 0 ELSE 1 END AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND {_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')} <= {_SS_BAND_SEC}
+    """,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (#58c cont.): every click, matched
+    to same-user purchases within 10 minutes OR emitted null-padded —
+    the attribution join that also has to answer 'which clicks
+    converted to NOTHING', which the inner form silently drops. In the
+    real engine the null-padded row can only be emitted once the
+    watermark passes click_time + 10 min (state eviction proves no
+    match can still arrive — outer results are inherently
+    watermark-delayed); the batch form is the same plan with the
+    horizon fully settled. The join state is user-bucketed and the
+    time-range predicate bounds per-key state exactly as the inner
+    variant's."""
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts_sec").alias("a_sec"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts_sec").alias("b_sec"),
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_sec") >= F.col("a_sec"))
+        & (F.col("b_sec") - F.col("a_sec") <= _SS_BAND_SEC),
+        "left_outer",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        (F.col("b_sec") - F.col("a_sec")).alias("gap_sec"),
+        F.when(F.col("purchase_id").isNull(), 0).otherwise(1).alias("matched"),
+    )
