@@ -498,3 +498,46 @@ def test_compaction_planner_is_joinless_window_pass(spark):
 def test_l_diversity_is_pure_aggregation(spark):
     plan = explain_str(QUERIES["x_privacy_l_diversity"](spark, ORACLE_SF))
     assert "Join" not in plan, plan
+
+
+def test_bitemporal_probe_grid_broadcasts(spark):
+    # the 3-row probe grid broadcasts against the version table; the
+    # theta predicate must ride a BroadcastNestedLoop over the TINY side,
+    # never a CartesianProduct of versions.
+    plan = explain_str(QUERIES["join_bitemporal"](spark, ORACLE_SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_covariance_is_generator_projection_no_selfjoin(spark):
+    # the 2,080-cell pair expansion is a transform/explode projection of
+    # each row — a vec_id self-join would shuffle the vectors twice.
+    plan = explain_str(QUERIES["x_embedding_pca_covariance"](spark, ORACLE_SF))
+    assert "Generate" in plan and "explode(" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_chunking_is_window_pass_no_udf(spark):
+    # rolling hash + boundary assignment are pure window passes over one
+    # doc_id partitioning: no Python eval, no join before the chunk agg.
+    plan = explain_str(QUERIES["x_dedup_chunk_cdc"](spark, ORACLE_SF))
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_bootstrap_replicates_collapse_mapside(spark):
+    # the rows-x-replicates explode must partially aggregate before the
+    # exchange (HashAggregate below Exchange) so the shuffle carries
+    # ~B rows per partition, not rows*B.
+    plan = explain_str(QUERIES["x_eval_bootstrap_ci"](spark, ORACLE_SF))
+    assert "Generate" in plan and "explode(" in plan, plan
+    # the replicate-keyed exchange exists AND partial HashAggregates sit
+    # below it (formatted mode puts the keys on the Arguments line)
+    assert "HashAggregate" in plan and "hashpartitioning(r#" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_row_lineage_is_joinless_metadata_pass(spark):
+    plan = explain_str(QUERIES["etl_row_lineage"](spark, ORACLE_SF))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
