@@ -831,7 +831,11 @@ _BITEMPORAL_PROBES = (
       FROM probes p JOIN versions v
         ON v.valid_from <= p.v_date AND v.tx_date <= p.t_date
     )
-    SELECT probe_id, v_date, t_date, o_custkey, version_key, valid_from,
+    SELECT probe_id,
+           CAST(v_date AS VARCHAR) AS v_date,
+           CAST(t_date AS VARCHAR) AS t_date,
+           o_custkey, version_key,
+           CAST(valid_from AS VARCHAR) AS valid_from,
            CAST(date_diff('day', valid_from, tx_date) AS BIGINT)
              AS days_late
     FROM hits WHERE rn = 1
@@ -881,11 +885,11 @@ def join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hits.select(
             "probe_id",
-            "v_date",
-            "t_date",
+            F.date_format("v_date", "yyyy-MM-dd").alias("v_date"),
+            F.date_format("t_date", "yyyy-MM-dd").alias("t_date"),
             "o_custkey",
             "version_key",
-            "valid_from",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
             F.datediff("tx_date", "valid_from").cast("bigint").alias("days_late"),
             F.row_number().over(w).alias("rn"),
         )
