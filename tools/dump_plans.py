@@ -35,6 +35,12 @@ REPR = [
     ("win_funnel_attribution_paths", "two running windows share ONE user_id exchange"),
     ("x_pipeline_dataset_card", "grouping sets: single scan + Expand"),
     ("x_text_char_lm_score", "broadcast bigram model; scoring map-side; counted stream"),
+    # round-6 second-session additions
+    ("x_eval_bootstrap_ci", "Poisson bootstrap: explode collapses map-side to B partials"),
+    ("x_embedding_pca_covariance", "Gram pass: generator projection, no self-join, d^2 mergeable cells"),
+    ("x_dedup_chunk_cdc", "content-defined chunking: 8-LAG rolling hash, one doc window pass"),
+    ("join_bitemporal", "probe grid broadcasts; argmax row_number, no interval self-join"),
+    ("etl_merkle_sync_diff", "anti-entropy tree: one scan per version + two thin rollups"),
 ]
 
 
