@@ -1399,11 +1399,14 @@ def x_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks at sf0.01).
 
     Scale shape: the per-char work is ONE doc_id-partitioned window pass
-    (8 LAGs + two running sums — no self-join, no UDF); chunk texts
-    reduce immediately to md5 keys, so the cross-corpus shuffle carries
-    32-byte hashes, never text. At 100 TB the chars-per-doc explosion is
-    the same linear cost every shingling pass pays, and the final
-    groupBy is a thin-key aggregate with map-side combine."""
+    (8 LAGs — no self-join, no UDF) that reduces immediately to the
+    ~1-per-64-chars BOUNDARY rows; chunk extraction is then interval
+    algebra (LAG over boundaries -> [start, end]) plus ONE substring
+    join-back to the docs table — the all-chars re-aggregation shuffle a
+    naive string_agg/collect_list form pays (it re-shuffles every char
+    row a second time) is gone; after the window pass only ~1/64 of the
+    rows survive. Chunk texts reduce to md5 keys before the cross-corpus
+    shuffle, which therefore carries 32-byte hashes, never text."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     chars = d.select(
         "doc_id",
@@ -1414,38 +1417,44 @@ def x_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("p0") + 1).cast("bigint").alias("pos"),
         F.conv(F.substring(F.md5("ch"), 1, 4), 16, 10).cast("bigint").alias("code"),
-        F.col("ch"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     h = None
     for j, p in enumerate(_CDC_POWS):
         term = F.coalesce(F.lag("code", j).over(w), F.lit(0)) * p
         h = term if h is None else h + term
-    rolled = chars.select(
-        "doc_id", "pos", "ch", (h % _CDC_MOD).alias("hh")
-    ).select(
+    # keep ONLY boundary positions: the char stream collapses ~64x here,
+    # before anything shuffles again
+    bpos = (
+        chars.select("doc_id", "pos", (h % _CDC_MOD).alias("hh"))
+        .filter(F.col("hh") % _CDC_DIV == 0)
+        .select("doc_id", "pos")
+    )
+    # interior chunks: (prev boundary + 1) .. boundary
+    w_b = Window.partitionBy("doc_id").orderBy("pos")
+    interior = bpos.select(
         "doc_id",
-        "pos",
-        "ch",
-        F.when(F.col("hh") % _CDC_DIV == 0, 1).otherwise(0).alias("b"),
+        (F.coalesce(F.lag("pos").over(w_b), F.lit(0)) + 1).alias("start"),
+        F.col("pos").alias("end"),
     )
-    w_prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1
+    # tail chunk per doc: (last boundary + 1) .. length(text); docs with
+    # no boundary at all contribute their whole text
+    last_b = bpos.groupBy("doc_id").agg(F.max("pos").alias("mb"))
+    tail = (
+        d.join(last_b, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("mb"), F.lit(0)) + 1).alias("start"),
+            F.length("text").cast("bigint").alias("end"),
+        )
+        .filter(F.col("start") <= F.col("end"))
     )
-    chunked = rolled.select(
+    spans = interior.unionByName(tail)
+    texts = spans.join(d, "doc_id").select(
         "doc_id",
-        "pos",
-        "ch",
-        F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("bigint").alias("chunk_id"),
-    )
-    texts = chunked.groupBy("doc_id", "chunk_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "ch"))),
-                lambda s: s.ch,
-            ),
-            "",
-        ).alias("chunk_text")
+        F.expr("substring(text, cast(start as int), cast(end - start + 1 as int))").alias(
+            "chunk_text"
+        ),
     )
     return (
         texts.groupBy(F.md5("chunk_text").alias("chunk_hash"))
