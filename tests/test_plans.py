@@ -522,12 +522,16 @@ def test_covariance_is_generator_projection_no_selfjoin(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_cdc_chunking_is_window_pass_no_udf(spark):
-    # rolling hash + boundary assignment are pure window passes over one
-    # doc_id partitioning: no Python eval, no join before the chunk agg.
+def test_cdc_chunking_is_single_projection_no_udf(spark):
+    # the whole rolling-hash chunker is array lambdas inside ONE
+    # projection: no Python eval, no per-char Window pass (the earlier
+    # window form re-shuffled every char row), no join — only the
+    # explicit rebalance exchange and the thin chunk-hash aggregate.
     plan = explain_str(QUERIES["x_dedup_chunk_cdc"](spark, ORACLE_SF))
     assert "BatchEvalPython" not in plan, plan
-    assert "Window" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Generate" in plan and "explode(" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_bootstrap_replicates_collapse_mapside(spark):
