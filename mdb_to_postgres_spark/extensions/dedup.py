@@ -1398,15 +1398,15 @@ def x_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     away: verified non-vacuous on this corpus (~300 cross-doc duplicate
     chunks at sf0.01).
 
-    Scale shape: the per-char work is ONE doc_id-partitioned window pass
-    (8 LAGs — no self-join, no UDF) that reduces immediately to the
-    ~1-per-64-chars BOUNDARY rows; chunk extraction is then interval
-    algebra (LAG over boundaries -> [start, end]) plus ONE substring
-    join-back to the docs table — the all-chars re-aggregation shuffle a
-    naive string_agg/collect_list form pays (it re-shuffles every char
-    row a second time) is gone; after the window pass only ~1/64 of the
-    rows survive. Chunk texts reduce to md5 keys before the cross-corpus
-    shuffle, which therefore carries 32-byte hashes, never text."""
+    Scale shape: the ENTIRE chunker — char codes, 8-term rolling hash,
+    boundary detection, span algebra, substring extraction — is nested
+    array lambdas inside ONE map-side projection per document (no UDF,
+    no per-char row explosion, no window sort, no join): two earlier
+    forms that exploded chars into rows and windowed over them measured
+    ~5-6 s at sf0.1; this form plus an upfront rebalance runs ~1.2 s
+    steady. Only the ~1-chunk-per-64-chars stream ever leaves the row,
+    already reduced to md5 keys, so the cross-corpus shuffle carries
+    32-byte hashes, never text."""
     # Rebalance BEFORE the CPU-heavy projection: the corpus arrives as
     # one parquet split locally, and the per-char md5 work would pin a
     # single core (measured 5.9 s -> 1.2 s steady at sf0.1 from this one
