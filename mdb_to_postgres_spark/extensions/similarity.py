@@ -1469,8 +1469,13 @@ def x_embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     those exact integers, so partial-aggregation order can never leak
     into the result. The pair expansion is a generator projection
     (nested transform, no self-join, no shuffle before the aggregate)."""
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # Rebalance before the Gram kernel: embeddings arrive as one parquet
+    # split locally, and 2,080 products per row on one core is the same
+    # single-split trap x_dedup_chunk_cdc hit.
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(max(spark.sparkContext.defaultParallelism * 2, 8), "vec_id")
     )
     # The Gram kernel explodes a FLAT bigint array (2,080 ppm-rounded
     # products per row) keyed by upper-triangle position, not an array of

@@ -749,7 +749,11 @@ _TRIGRAM_CACHE: dict = {}
 
 def doc_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        d = T(spark, sf_dir, "documents")
+        # rebalance before the per-char explode (single-split corpus
+        # would pin one core — the x_dedup_chunk_cdc lesson)
+        d = T(spark, sf_dir, "documents").repartition(
+            max(spark.sparkContext.defaultParallelism * 2, 8), "doc_id"
+        )
         g = d.select(
             "doc_id", "lang", F.lower(F.col("text")).alias("t")
         ).filter(F.length("t") >= 3).select(
@@ -1754,7 +1758,14 @@ def x_text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans."""
     from pyspark.sql.window import Window
 
-    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # Rebalance before the per-char work: the corpus is one parquet
+    # split locally, so the bigram explode would otherwise pin one core
+    # (the x_dedup_chunk_cdc lesson).
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .repartition(max(spark.sparkContext.defaultParallelism * 2, 8), "doc_id")
+    )
     # lower(text) HOISTED out of the lambda: there is no CSE across
     # transform() elements, so an inline lower() re-lowercases the whole
     # document once per bigram — O(n^2) per doc (the x_text_langid_ngram
