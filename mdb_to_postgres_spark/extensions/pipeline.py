@@ -1335,3 +1335,140 @@ def etl_merkle_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree.filter(
         (F.col("ck_v1") != F.col("ck_v2")) | (F.col("n_v1") != F.col("n_v2"))
     ).select("level", "node_id", "n_v1", "n_v2", "ck_v1", "ck_v2")
+
+
+_T_CLOSE_PPM = 200000  # release threshold: EMD <= 0.20
+
+
+@query(
+    "x_privacy_t_closeness",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS sb
+      FROM customer
+    ),
+    dom AS (SELECT DISTINCT sb FROM c),
+    cls AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS nc
+            FROM c GROUP BY 1, 2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT sb) AS BIGINT) AS m FROM c),
+    gb AS (SELECT sb, CAST(COUNT(*) AS BIGINT) AS gcnt FROM c GROUP BY sb),
+    gcum AS (SELECT sb, CAST(SUM(gcnt) OVER (ORDER BY sb
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+             FROM gb),
+    cb AS (SELECT c_nationkey, c_mktsegment, sb, CAST(COUNT(*) AS BIGINT) AS ccnt
+           FROM c GROUP BY 1, 2, 3),
+    dense AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc, dom.sb,
+             COALESCE(cb.ccnt, 0) AS ccnt
+      FROM cls CROSS JOIN dom
+      LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+                  AND cb.c_mktsegment = cls.c_mktsegment
+                  AND cb.sb = dom.sb
+    ),
+    ccum AS (
+      SELECT c_nationkey, c_mktsegment, nc, sb,
+             CAST(SUM(ccnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                  ORDER BY sb ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ccum
+      FROM dense
+    ),
+    terms AS (
+      SELECT x.c_nationkey, x.c_mktsegment, x.nc,
+             CAST(SUM(ABS(x.ccum * t.n - g.gcum * x.nc)) AS BIGINT) AS num,
+             ANY_VALUE(t.n) AS n, ANY_VALUE(t.m) AS m
+      FROM ccum x
+      JOIN gcum g ON g.sb = x.sb
+      CROSS JOIN tot t
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, nc AS class_size,
+           CAST(num AS DOUBLE) / (nc * n * (m - 1)) AS emd,
+           CAST(ROUND(1000000.0 * num / (nc * n * (m - 1)), 0) AS BIGINT)
+             <= {_T_CLOSE_PPM} AS t_close_ok
+    FROM terms
+    """,
+)
+def x_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — the third leg of the
+    privacy trio: k-anonymity bounds class SIZE, l-diversity bounds
+    sensitive-value VARIETY, t-closeness bounds the DISTANCE between
+    each class's sensitive distribution and the global one (a class can
+    pass both k and l yet still leak — e.g. 90% of its members in the
+    top balance bucket when globally that bucket holds 10%). Distance =
+    the ordered-attribute Earth Mover's Distance: mean absolute
+    difference of the cumulative distributions over the ordered balance
+    buckets, the t-closeness paper's own formulation.
+
+    Exactness: the EMD is computed entirely on the integer lattice by
+    cross-multiplying cumulative counts (|ccum*N - gcum*nc| — BIGINTs,
+    no per-class divides until the single final one), so the audit is
+    bit-identical at any parallelism. Shape: three thin aggregations
+    (class, class x bucket, global x bucket), a broadcast bucket-domain
+    densification (zero-count buckets MUST enter the cumsum), and a
+    6-row-per-class window — classes, never rows, ride every join; at
+    100 TB this costs what any profiling scan costs."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("sb"),
+    )
+    dom = c.select("sb").distinct()
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("nc")
+    )
+    tot = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("sb").cast("bigint").alias("m"),
+    )
+    gb = c.groupBy("sb").agg(F.count("*").cast("bigint").alias("gcnt"))
+    w_g = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gb.select("sb", F.sum("gcnt").over(w_g).cast("bigint").alias("gcum"))
+    cb = c.groupBy("c_nationkey", "c_mktsegment", "sb").agg(
+        F.count("*").cast("bigint").alias("ccnt")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(dom))
+        .join(cb, ["c_nationkey", "c_mktsegment", "sb"], "left_outer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "nc",
+            "sb",
+            F.coalesce(F.col("ccnt"), F.lit(0)).alias("ccnt"),
+        )
+    )
+    w_c = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("sb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ccum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "nc",
+        "sb",
+        F.sum("ccnt").over(w_c).cast("bigint").alias("ccum"),
+    )
+    terms = (
+        ccum.join(F.broadcast(gcum), "sb")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "nc")
+        .agg(
+            F.sum(F.abs(F.col("ccum") * F.col("n") - F.col("gcum") * F.col("nc")))
+            .cast("bigint")
+            .alias("num"),
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+        )
+    )
+    denom = F.col("nc") * F.col("n") * (F.col("m") - 1)
+    return terms.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("nc").alias("class_size"),
+        (F.col("num").cast("double") / denom).alias("emd"),
+        (
+            F.round(F.lit(1000000.0) * F.col("num") / denom, 0).cast("bigint")
+            <= _T_CLOSE_PPM
+        ).alias("t_close_ok"),
+    )

@@ -283,7 +283,7 @@ _DEBT_TIER_D = {
     "x_eval_bootstrap_ci", "x_dedup_chunk_cdc", "x_embedding_pca_covariance",
     "join_bitemporal", "win_kaplan_meier", "x_graph_label_propagation",
     "scan_xml", "etl_row_lineage", "etl_merkle_sync_diff",
-    "stream_outer_join_watermark",
+    "stream_outer_join_watermark", "x_privacy_t_closeness",
 }
 
 

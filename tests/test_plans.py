@@ -550,3 +550,11 @@ def test_row_lineage_is_joinless_metadata_pass(spark):
     plan = explain_str(QUERIES["etl_row_lineage"](spark, ORACLE_SF))
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_t_closeness_joins_broadcast_thin_sides(spark):
+    # the densification and global-cum joins carry buckets/classes, never
+    # customer rows: every join must be a broadcast of a tiny side.
+    plan = explain_str(QUERIES["x_privacy_t_closeness"](spark, ORACLE_SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -164,3 +164,19 @@ def test_outer_join_conserves_clicks(spark):
     unmatched = pdf[pdf.matched == 0]
     assert unmatched.purchase_id.isna().all()
     assert (pdf[pdf.matched == 1].gap_sec.between(0, 600)).all()
+
+
+def test_t_closeness_emd_laws(spark):
+    out = QUERIES["x_privacy_t_closeness"](spark, ORACLE_SF).toPandas()
+    from mdb_to_postgres_spark.sources.tables import T
+
+    c = T(spark, ORACLE_SF, "customer")
+    # one row per (nation, segment) class; sizes sum to the table
+    assert len(out) == c.select("c_nationkey", "c_mktsegment").distinct().count()
+    assert out.class_size.sum() == c.count()
+    # EMD is a normalized distance: in [0, 1], and not degenerate —
+    # classes differ from the global distribution somewhere
+    assert (out.emd >= 0).all() and (out.emd <= 1).all()
+    assert out.emd.max() > 0
+    # the audit verdict matches the reported distance at the threshold
+    assert ((out.emd <= 0.2 + 1e-12) == out.t_close_ok).all()
