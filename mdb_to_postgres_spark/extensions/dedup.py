@@ -1339,6 +1339,67 @@ _CDC_DIV = 64
 _CDC_POWS = [pow(_CDC_A, j, _CDC_MOD) for j in range(_CDC_W)]
 
 
+def cdc_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, chunk_text) stream behind x_dedup_chunk_cdc, exposed
+    so tests can assert the losslessness law: per doc, the chunks
+    concatenated in order reassemble the original text exactly (chunking
+    is a PARTITION of the document, not a sample of it)."""
+    # Rebalance BEFORE the CPU-heavy projection: the corpus arrives as
+    # one parquet split locally, and the per-char md5 work would pin a
+    # single core (measured 5.9 s -> 1.2 s steady at sf0.1 from this one
+    # line). At 100 TB the same rebalance evens out skewed file sizes
+    # ahead of a compute-bound stage; the shuffled payload is the raw
+    # text column once — cheap relative to the per-char work it unlocks.
+    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 1)
+        .repartition(nparts, "doc_id")
+    )
+    # Per-row array pipeline — the whole chunking runs inside ONE
+    # projection (char codes -> boundary positions -> spans -> substrings
+    # as nested array lambdas), so NOTHING explodes or shuffles until the
+    # ~1-chunk-per-64-chars stream: no per-char rows, no window sort.
+    terms = " + ".join(
+        f"if(i > {j}, element_at(cs, i - {j}), 0L) * {pw}" if j
+        else f"element_at(cs, i) * {pw}"
+        for j, pw in enumerate(_CDC_POWS)
+    )
+    base = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "transform(transform(sequence(1, length(text)),"
+            " i -> substring(text, i, 1)),"
+            " ch -> cast(conv(substring(md5(ch), 1, 4), 16, 10) as bigint))"
+        ).alias("cs"),
+    )
+    bounded = base.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"filter(sequence(1, size(cs)),"
+            f" i -> (({terms}) % {_CDC_MOD}) % {_CDC_DIV} = 0)"
+        ).alias("bs"),
+    )
+    texts = bounded.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform("
+                "  filter("
+                "    transform(sequence(1, size(bs) + 1), k -> struct("
+                "      if(k = 1, 1, element_at(bs, k - 1) + 1) AS s,"
+                "      if(k <= size(bs), element_at(bs, k), length(text)) AS e)),"
+                "    c -> c.s <= c.e),"
+                "  c -> substring(text, c.s, c.e - c.s + 1))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return texts
+
+
 @query(
     "x_dedup_chunk_cdc",
     oracle=f"""
@@ -1407,59 +1468,7 @@ def x_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     steady. Only the ~1-chunk-per-64-chars stream ever leaves the row,
     already reduced to md5 keys, so the cross-corpus shuffle carries
     32-byte hashes, never text."""
-    # Rebalance BEFORE the CPU-heavy projection: the corpus arrives as
-    # one parquet split locally, and the per-char md5 work would pin a
-    # single core (measured 5.9 s -> 1.2 s steady at sf0.1 from this one
-    # line). At 100 TB the same rebalance evens out skewed file sizes
-    # ahead of a compute-bound stage; the shuffled payload is the raw
-    # text column once — cheap relative to the per-char work it unlocks.
-    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    d = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= 1)
-        .repartition(nparts, "doc_id")
-    )
-    # Per-row array pipeline — the whole chunking runs inside ONE
-    # projection (char codes -> boundary positions -> spans -> substrings
-    # as nested array lambdas), so NOTHING explodes or shuffles until the
-    # ~1-chunk-per-64-chars stream: no per-char rows, no window sort.
-    terms = " + ".join(
-        f"if(i > {j}, element_at(cs, i - {j}), 0L) * {pw}" if j
-        else f"element_at(cs, i) * {pw}"
-        for j, pw in enumerate(_CDC_POWS)
-    )
-    base = d.select(
-        "doc_id",
-        "text",
-        F.expr(
-            "transform(transform(sequence(1, length(text)),"
-            " i -> substring(text, i, 1)),"
-            " ch -> cast(conv(substring(md5(ch), 1, 4), 16, 10) as bigint))"
-        ).alias("cs"),
-    )
-    bounded = base.select(
-        "doc_id",
-        "text",
-        F.expr(
-            f"filter(sequence(1, size(cs)),"
-            f" i -> (({terms}) % {_CDC_MOD}) % {_CDC_DIV} = 0)"
-        ).alias("bs"),
-    )
-    texts = bounded.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform("
-                "  filter("
-                "    transform(sequence(1, size(bs) + 1), k -> struct("
-                "      if(k = 1, 1, element_at(bs, k - 1) + 1) AS s,"
-                "      if(k <= size(bs), element_at(bs, k), length(text)) AS e)),"
-                "    c -> c.s <= c.e),"
-                "  c -> substring(text, c.s, c.e - c.s + 1))"
-            )
-        ).alias("chunk_text"),
-    )
+    texts = cdc_chunk_stream(spark, sf_dir)
     return (
         texts.groupBy(F.md5("chunk_text").alias("chunk_hash"))
         .agg(
