@@ -1468,7 +1468,9 @@ def x_embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The covariance finishes as one fixed-shape double expression of
     those exact integers, so partial-aggregation order can never leak
     into the result. The pair expansion is a generator projection
-    (nested transform, no self-join, no shuffle before the aggregate)."""
+    (nested transform, no self-join); the only pre-aggregate exchange is
+    the explicit rebalance below, which carries the raw vectors once to
+    spread the compute-bound kernel across cores/executors."""
     # Rebalance before the Gram kernel: embeddings arrive as one parquet
     # split locally, and 2,080 products per row on one core is the same
     # single-split trap x_dedup_chunk_cdc hit.
