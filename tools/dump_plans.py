@@ -41,6 +41,7 @@ REPR = [
     ("x_dedup_chunk_cdc", "content-defined chunking: 8-LAG rolling hash, one doc window pass"),
     ("join_bitemporal", "probe grid broadcasts; argmax row_number, no interval self-join"),
     ("etl_merkle_sync_diff", "anti-entropy tree: one scan per version + two thin rollups"),
+    ("x_privacy_t_closeness", "integer-lattice EMD: classes, never rows, ride every join"),
 ]
 
 
