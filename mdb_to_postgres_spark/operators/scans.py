@@ -1177,12 +1177,14 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part",
         "file_id",
         "bytes",
-        (
-            F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint")
-            / F.lit(_COMPACT_TARGET)
-        )
-        .cast("bigint")
-        .alias("target_file"),
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint").alias("bytes_before"),
+    ).select(
+        "part",
+        "file_id",
+        "bytes",
+        # exact integer floor-div (`div`), NOT double `/` + cast: cumulative
+        # bytes past 2^53 would lose precision in a double at 100 TB scale
+        F.expr(f"bytes_before div {_COMPACT_TARGET}").alias("target_file"),
     )
     return planned.groupBy("part", "target_file").agg(
         F.count("*").alias("n_source_files"),

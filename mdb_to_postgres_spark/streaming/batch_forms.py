@@ -260,7 +260,7 @@ _SS_BAND_SEC = 600  # purchase within 10 minutes after a click, same user
            ({_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')}) AS gap_sec
     FROM events a JOIN events b
       ON a.user_id = b.user_id
-     AND b.ts >= a.ts
+     AND {_EV_SEC.replace('ts', 'b.ts')} >= {_EV_SEC.replace('ts', 'a.ts')}
      AND {_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')} <= {_SS_BAND_SEC}
     WHERE a.event_type = 'click' AND b.event_type = 'purchase'
     """,
@@ -752,7 +752,7 @@ def stream_join_windowed_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events WHERE event_type = 'click') a
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
       ON a.user_id = b.user_id
-     AND b.ts >= a.ts
+     AND {_EV_SEC.replace('ts', 'b.ts')} >= {_EV_SEC.replace('ts', 'a.ts')}
      AND {_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')} <= {_SS_BAND_SEC}
     """,
 )

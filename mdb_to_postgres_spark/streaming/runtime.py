@@ -281,18 +281,20 @@ def click_purchase_join(spark: SparkSession, sf_dir: str, band_sec: int = 600) -
     """Stream-stream interval join twin of batch_forms.stream_stream_join:
     two independent file streams (clicks, purchases) with watermarks on
     both sides + the time-range predicate — the state-expiry contract a
-    stream-stream join requires."""
+    stream-stream join requires. Event time is floor-second-truncated
+    before the watermark so the interval predicate matches the batch
+    form's ts_sec bounds exactly (see windowed_join_counts)."""
     clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("a_user"),
-        F.col("ts").alias("a_ts"),
+        F.to_timestamp(F.col("ts").cast("long")).alias("a_ts"),
     ).withWatermark("a_ts", "30 minutes")
     purchases = read_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("b_user"),
-        F.col("ts").alias("b_ts"),
+        F.to_timestamp(F.col("ts").cast("long")).alias("b_ts"),
     ).withWatermark("b_ts", "30 minutes")
     joined = clicks.join(
         purchases,
@@ -491,14 +493,23 @@ def windowed_join_counts(spark: SparkSession, sf_dir: str, band_sec: int = 600) 
     side's watermark passes the band, and the downstream tumbling window
     closes and emits on the same watermark — two bounded state stores,
     which is the entire difference between a stream job that runs forever
-    and one that OOMs on day three."""
+    and one that OOMs on day three.
+
+    Both event-time columns are truncated to whole seconds BEFORE the
+    watermark (same pattern as session_counts): the interval predicate and
+    the hourly window then run on floor-second timestamps, which is exactly
+    the batch/oracle contract (b_sec >= a_sec, b_sec <= a_sec + band). On
+    raw microsecond timestamps a same-second reversed-microsecond pair and
+    a pair with raw gap in (band, band+1) would diverge from the
+    floor-second form — sf0.01 has no such pair, but the equivalence must
+    not depend on that."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("a_user"),
-            F.col("ts").alias("a_ts"),
+            F.to_timestamp(F.col("ts").cast("long")).alias("a_ts"),
         )
         .withWatermark("a_ts", "30 minutes")
     )
@@ -508,7 +519,7 @@ def windowed_join_counts(spark: SparkSession, sf_dir: str, band_sec: int = 600) 
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("b_user"),
-            F.col("ts").alias("b_ts"),
+            F.to_timestamp(F.col("ts").cast("long")).alias("b_ts"),
         )
         .withWatermark("b_ts", "30 minutes")
     )

@@ -463,7 +463,7 @@ def test_interval_overlap_blocks_on_grid_cells(spark):
     # candidate generation must be an equi-join (grid cells), never a
     # nested-loop BETWEEN theta join.
     plan = explain_str(QUERIES["join_interval_overlap"](spark, ORACLE_SF))
-    assert "NestedLoop" not in plan or "BroadcastNestedLoop" in plan, plan
+    assert "NestedLoop" not in plan, plan  # incl. BroadcastNestedLoopJoin
     assert "CartesianProduct" not in plan, plan
 
 

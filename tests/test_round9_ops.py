@@ -140,6 +140,41 @@ def test_row_lineage_manifest_complete(spark):
     assert (out.lineage_ck.values == again.lineage_ck.values).all()
 
 
+def test_row_lineage_oracle_layout_assumption(spark):
+    """The DuckDB oracle hard-codes file_name = 'orders.parquet' and
+    re-derives row_index as ROW_NUMBER() ORDER BY o_orderkey — valid only
+    while orders ships as ONE parquet file physically sorted by
+    o_orderkey. Guard that loudly: a corpus regeneration that splits or
+    re-sorts the file must fail HERE, not as an opaque oracle hash
+    mismatch."""
+    from mdb_to_postgres_spark.sources.tables import T
+
+    src = T(spark, ORACLE_SF, "orders").select(
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.row_index").alias("ri"),
+        "o_orderkey",
+    )
+    from pyspark.sql.window import Window
+
+    files = src.select("fn").distinct().collect()
+    assert [r.fn for r in files] == ["orders.parquet"], files
+    stats = src.agg(
+        F.count("*").alias("n"),
+        F.max("ri").alias("max_ri"),
+        F.min("ri").alias("min_ri"),
+    ).collect()[0]
+    assert stats.min_ri == 0 and stats.max_ri == stats.n - 1, stats
+    # physically sorted by o_orderkey <=> zero inversions in row order
+    prev = F.lag("o_orderkey").over(Window.orderBy("ri"))
+    inversions = (
+        src.select((F.col("o_orderkey") < prev).cast("int").alias("inv"))
+        .agg(F.sum("inv").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert (inversions or 0) == 0, inversions
+
+
 def test_xml_roundtrip_exact(spark):
     out = QUERIES["scan_xml"](spark, ORACLE_SF)
     from mdb_to_postgres_spark.sources.tables import T
