@@ -35,17 +35,39 @@ _EXCLUDE = {
 }
 
 
+_TOP_K = 12  # heaviest queries inlined on the stdout line
+
+
+def _tier(name: str) -> str:
+    """Coarse query family: first name token, or first two for the x_
+    extension tier (x_dedup, x_text, ...)."""
+    parts = name.split("_")
+    return "_".join(parts[:2]) if parts[0] == "x" else parts[0]
+
+
 def build_payload(timings: dict[str, float], sf: str) -> str:
-    """The ONE stdout line the driver parses — compact JSON, contract keys
-    only, 2-decimal per-query values (long lines get truncated by the
-    driver's capture; that killed round-1 parsing). Kept as a separate
-    function so tests can assert the line stays machine-parseable."""
+    """The ONE stdout line the driver parses. Rounds 1-6 all recorded
+    "parsed": null because the full per-query map (~8-10 KB at 300+
+    queries) outgrew the driver's line capture — BENCH_r06's kept tail
+    starts mid-key. So the line now stays BOUNDED regardless of registry
+    size: contract keys, the TOTAL, per-tier subtotals, and only the
+    _TOP_K heaviest queries inline; the complete per-query map goes to
+    the bench_full.json sidecar (path in the "full" key). Kept as a
+    separate function so tests can assert the line stays machine-parseable
+    and under the capture limit at any registry size."""
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:_TOP_K])
+    tiers: dict[str, float] = {}
+    for n, v in timings.items():
+        tiers[_tier(n)] = tiers.get(_tier(n), 0.0) + v
     return json.dumps(
         {
             "metric": "steady_state_query_wall_time",
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
-            "queries": {n: round(v, 2) for n, v in timings.items()},
+            "n_queries": len(timings),
+            "queries": {n: round(v, 2) for n, v in top.items()},
+            "tiers": {t: round(v, 2) for t, v in sorted(tiers.items())},
+            "full": "bench_full.json",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),
@@ -96,6 +118,22 @@ def main() -> None:
     print("cold pass: " + json.dumps({n: round(v, 3) for n, v in cold.items()}), file=sys.stderr)
     print(f"cold_total: {round(sum(cold.values()), 2)}", file=sys.stderr)
     print(f"warm pass totals: {round(sum(warm1.values()), 2)} / {round(sum(warm2.values()), 2)}", file=sys.stderr)
+    # Full-resolution record: the stdout line carries only the top-K +
+    # tier subtotals, so the complete per-query map (cold + both warm
+    # passes + the min-of-warm headline) lands in a sidecar next to bench.py.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "total_s": round(sum(timings.values()), 2),
+                "queries": {n: round(v, 4) for n, v in timings.items()},
+                "cold": cold,
+                "warm1": warm1,
+                "warm2": warm2,
+            },
+            f,
+            indent=1,
+        )
     payload = build_payload(timings, sf)
     os.write(real_stdout_fd, (payload + "\n").encode())
     os.close(real_stdout_fd)

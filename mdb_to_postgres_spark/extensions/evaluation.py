@@ -52,26 +52,33 @@ def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-safe without any float accumulation: with avg-rank = rank +
     (ties-1)/2, twice the positive rank sum is SUM(2*rank + ties - 1),
     an exact BIGINT; AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) is
-    one final divide. The global rank is the only total-order step — at
-    scale it runs as a range-partitioned sort (Spark's global Window
-    falls back to a single partition; production replaces it with the
-    two-phase rank: per-range ranks + broadcast range offsets, same
-    numbers)."""
+    one final divide.
+
+    The rank statistic needs NO per-row global rank: every row at score s
+    shares rank(s) and tie-count t(s), so the corpus first collapses to
+    one row per DISTINCT score (groupBy — map-side combine), and rank(s)
+    = 1 + exclusive running count over the distinct scores, computed
+    two-phase (range exchange + local window + broadcast P-row offsets,
+    functions/global_order.py). No single-partition pass over data ever
+    happens — the only global window runs over P rows."""
+    from ..functions.global_order import global_cumsum
+
     e = T(spark, sf_dir, "embeddings")
     scored = e.select(
         F.element_at("embedding", 2).alias("score"), (F.col("label") % 2).alias("y")
     )
-    ranked = scored.select(
-        "y",
-        F.rank().over(Window.orderBy("score")).alias("r"),
-        F.count("*").over(Window.partitionBy("score")).alias("t"),
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("t"), F.sum("y").cast("bigint").alias("pos")
     )
+    ranked = global_cumsum(
+        per_score, [F.asc("score")], F.col("t"), "cum_before"
+    ).select("pos", "t", (F.col("cum_before") + 1).alias("r"))
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, 2 * F.col("r") + F.col("t") - 1).otherwise(0))
+        F.sum(F.col("pos") * (2 * F.col("r") + F.col("t") - 1))
         .cast("bigint")
         .alias("s2"),
-        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
-        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("pos")).cast("bigint").alias("n_neg"),
     )
     return agg.select(
         "n_pos",
@@ -179,26 +186,35 @@ def x_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The discount table is baked as 1e6-scaled INTEGER literals shared by
     both engines, so DCG is an exact BIGINT dot product (sum order free)
     and NDCG is one final divide — the transcendental never executes at
-    query time. The only full-data steps are two global top-10 ranks
-    (range-partitioned sorts at scale; everything after runs on 10
-    rows). Relevance = label %% 4 (graded), score = the third embedding
-    component, ties broken by vec_id on both engines."""
+    query time. The only full-data steps are two global top-10s, shipped
+    as orderBy+limit so they plan as TakeOrderedAndProject (per-partition
+    top-k partials merged on the driver — a row_number<=10 over a global
+    Window would funnel the corpus through ONE task instead); ranks are
+    then assigned on the 10 surviving rows. Relevance = label %% 4
+    (graded), score = the third embedding component, ties broken by
+    vec_id on both engines."""
     from pyspark.sql.window import Window
 
     e = T(spark, sf_dir, "embeddings")
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
-    ranked = e.select(
-        (F.col("label") % 4).alias("rel"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(F.element_at("embedding", 3)), F.asc("vec_id")))
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
-    ideal = e.select(
-        (F.col("label") % 4).alias("rel"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(F.col("label") % 4), F.asc("vec_id")))
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
+    by_score = [F.desc("score"), F.asc("vec_id")]
+    ranked = (
+        e.select(
+            (F.col("label") % 4).alias("rel"),
+            F.element_at("embedding", 3).alias("score"),
+            "vec_id",
+        )
+        .orderBy(*by_score)
+        .limit(10)
+        .select("rel", F.row_number().over(Window.orderBy(*by_score)).alias("rnk"))
+    )
+    by_rel = [F.desc("rel"), F.asc("vec_id")]
+    ideal = (
+        e.select((F.col("label") % 4).alias("rel"), "vec_id")
+        .orderBy(*by_rel)
+        .limit(10)
+        .select("rel", F.row_number().over(Window.orderBy(*by_rel)).alias("rnk"))
+    )
     dcg = ranked.agg(
         F.sum(F.col("rel") * F.element_at(disc, F.col("rnk"))).cast("bigint").alias("dcg_scaled")
     )
@@ -312,9 +328,12 @@ def x_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE's equal-count binning is deterministic under the (score DESC,
     vec_id) total order — both engines split remainders identically
     (front-loaded) per the SQL standard; counts are exact integers and
-    rate/lift are single divides. Global rank = range-partitioned sort
-    at scale, as documented for AUC."""
-    from pyspark.sql.window import Window
+    rate/lift are single divides. The NTILE is computed two-phase
+    (global row number via range exchange + broadcast offsets, then the
+    standard's front-loaded-remainder formula in exact integer
+    arithmetic — functions/global_order.py), so no single-partition pass
+    over the scored population exists in the plan."""
+    from ..functions.global_order import global_row_number, ntile_from_rn
 
     e = T(spark, sf_dir, "embeddings")
     scored = e.select(
@@ -322,10 +341,9 @@ def x_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).alias("y"),
         "vec_id",
     )
-    ranked = scored.select(
-        "y",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("vec_id"))).alias("decile"),
-    )
+    ranked = global_row_number(
+        scored, [F.desc("score"), F.asc("vec_id")], "rn", total_col="n_tot"
+    ).select("y", ntile_from_rn("rn", "n_tot", 10).alias("decile"))
     overall = ranked.agg(
         F.sum("y").cast("bigint").alias("tot_pos"), F.count("*").alias("tot")
     )
@@ -389,8 +407,12 @@ def x_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent; Spark's double->DECIMAL cast is NOT portable, it
     round-trips through the shortest string repr), bin mass accumulates as
     exact BIGINTs, and each reported ratio is ONE final IEEE divide. The
-    NTILE runs under a total order (score_mil, vec_id); it is the one
-    global-sort step (two-phase range-partitioned at scale)."""
+    NTILE runs under a total order (score_mil, vec_id) and is computed
+    two-phase (range exchange + broadcast offsets + the front-loaded
+    remainder formula, functions/global_order.py) — no single-partition
+    window over the scored population."""
+    from ..functions.global_order import global_row_number, ntile_from_rn
+
     e = T(spark, sf_dir, "embeddings")
     scored = e.select(
         "vec_id",
@@ -399,11 +421,9 @@ def x_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_mil"),
         (F.col("label") % 2).alias("y"),
     )
-    binned = scored.select(
-        F.ntile(10).over(Window.orderBy("score_mil", "vec_id")).alias("bin"),
-        "score_mil",
-        "y",
-    )
+    binned = global_row_number(
+        scored, [F.asc("score_mil"), F.asc("vec_id")], "rn", total_col="n_tot"
+    ).select(ntile_from_rn("rn", "n_tot", 10).alias("bin"), "score_mil", "y")
     agg = binned.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum("score_mil").cast("bigint").alias("s_sum"),

@@ -88,17 +88,22 @@ _PACK_BUDGET = 2048  # est. tokens per packed training sequence
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: assign each document a pack id and
     in-pack offset from the running token count over a stable total order
-    — one window prefix-sum, the distributed form of the greedy packer.
-    At scale the ORDER BY becomes per-shard (partitionBy a shard key) so
-    the window never needs a global sort of 100 TB."""
+    — the distributed form of the greedy packer. The prefix-sum runs
+    two-phase (range exchange on doc_id + local running sum + broadcast
+    P-row offsets, functions/global_order.py): this is THE packing pass a
+    100 TB corpus actually executes, so no single-partition window over
+    the documents may exist in the plan. pack_id is exact integer
+    floor-div of the BIGINT prior-token count (double division would lose
+    precision past 2^53 cumulative tokens)."""
+    from ..functions.global_order import global_cumsum
+
     d = T(spark, sf_dir, "documents")
     t = d.select("doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.withColumn("prior_tokens", F.coalesce(F.sum("est_tokens").over(w), F.lit(0)))
+    c = global_cumsum(t, [F.asc("doc_id")], F.col("est_tokens"), "prior_tokens")
     return c.select(
         "doc_id",
         "est_tokens",
-        (F.col("prior_tokens") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        F.expr(f"prior_tokens div {_PACK_BUDGET}").cast("long").alias("pack_id"),
         (F.col("prior_tokens") % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
 
@@ -547,15 +552,21 @@ def x_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-stage rank is a window partitioned BY STAGE, and the offsets table
     is stage-count-sized (4 rows) — the same prefix-sum decomposition
     x_pack_sequences uses, so the plan scales as a partitioned window +
-    broadcast join at 100 TB. (The NTILE stage assignment is the one
-    global-ordered window; at scale it becomes an approx-quantile cut on
-    the difficulty score — same output contract.)"""
+    broadcast join at 100 TB. The NTILE stage assignment is now ALSO
+    two-phase (global row number via range exchange + broadcast offsets
+    + the front-loaded-remainder formula, functions/global_order.py), so
+    the full plan has no single-partition pass over the corpus at all."""
+    from ..functions.global_order import global_row_number, ntile_from_rn
+
     d = T(spark, sf_dir, "documents")
-    scored = d.select(
+    scored = global_row_number(
+        d.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        "rn",
+        total_col="n_tot",
+    ).select(
         "doc_id",
-        F.ntile(_CURRICULUM_STAGES)
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("stage"),
+        ntile_from_rn("rn", "n_tot", _CURRICULUM_STAGES).alias("stage"),
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
     )
     staged = scored.select(

@@ -1,6 +1,8 @@
 """bench.py's single-JSON-line stdout contract is what the per-round
-driver parses; round 2's bench died unparsed, so the emit path is guarded
-here without spinning up Spark."""
+driver parses; rounds 1-6 recorded "parsed": null because the full
+per-query map outgrew the driver's line capture, so the emit path is
+guarded here without spinning up Spark: bounded line, contract keys,
+top-K + tier subtotals inline, full map in the sidecar."""
 
 from __future__ import annotations
 
@@ -17,9 +19,38 @@ def test_payload_parses_and_has_contract_keys():
     assert parsed["unit"] == "sec"
     assert parsed["sf"] == 0.1
     assert parsed["value"] == round(sum(timings.values()), 2)
+    assert parsed["n_queries"] == len(timings)
+    # under the cap every query is inlined
     assert set(parsed["queries"]) == set(timings)
+    assert parsed["full"] == "bench_full.json"
     assert "\n" not in line  # ONE line
     assert " " not in line  # compact separators: truncation headroom
+
+
+def test_payload_stays_bounded_at_registry_scale():
+    # 400 registered queries (beyond today's 316): the line must NOT grow
+    # with the registry — that is exactly the failure that kept BENCH_r01-r06
+    # unparsed. Cap: top-K heaviest inline + one subtotal per tier.
+    timings = {f"x_dedup_q{i:03d}": 0.1 + i / 1000 for i in range(200)}
+    timings.update({f"agg_q{i:03d}": 0.2 + i / 1000 for i in range(200)})
+    line = bench.build_payload(timings, "0.1")
+    parsed = json.loads(line)
+    assert len(line) < 2048, len(line)
+    assert len(parsed["queries"]) == bench._TOP_K
+    # the inlined entries are the heaviest ones
+    floor = min(parsed["queries"].values())
+    dropped_max = max(v for n, v in timings.items() if n not in parsed["queries"])
+    assert floor >= round(dropped_max, 2) - 0.01
+    assert parsed["n_queries"] == 400
+    assert set(parsed["tiers"]) == {"x_dedup", "agg"}
+    assert abs(parsed["tiers"]["agg"] - sum(v for n, v in timings.items() if n.startswith("agg"))) < 0.1
+
+
+def test_tier_grouping():
+    assert bench._tier("agg_histogram_bins") == "agg"
+    assert bench._tier("x_dedup_minhash_lsh") == "x_dedup"
+    assert bench._tier("stream_cdc_upsert") == "stream"
+    assert bench._tier("win_lag_lead") == "win"
 
 
 def test_payload_handles_odd_sf_dir_names():
