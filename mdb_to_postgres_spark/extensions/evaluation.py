@@ -58,8 +58,8 @@ def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares rank(s) and tie-count t(s), so the corpus first collapses to
     one row per DISTINCT score (groupBy — map-side combine), and rank(s)
     = 1 + exclusive running count over the distinct scores, computed
-    two-phase (range exchange + local window + broadcast P-row offsets,
-    functions/global_order.py). No single-partition pass over data ever
+    clustered (deterministic quantile buckets + ONE hash exchange + local
+    window + literal offsets, functions/global_order.py). No single-partition pass over data ever
     happens — the only global window runs over P rows."""
     from ..functions.global_order import global_cumsum
 
@@ -71,7 +71,7 @@ def x_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("t"), F.sum("y").cast("bigint").alias("pos")
     )
     ranked = global_cumsum(
-        per_score, [F.asc("score")], F.col("t"), "cum_before"
+        per_score, [("score", "asc")], F.col("t"), "cum_before"
     ).select("pos", "t", (F.col("cum_before") + 1).alias("r"))
     agg = ranked.agg(
         F.sum(F.col("pos") * (2 * F.col("r") + F.col("t") - 1))
@@ -329,7 +329,8 @@ def x_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id) total order — both engines split remainders identically
     (front-loaded) per the SQL standard; counts are exact integers and
     rate/lift are single divides. The NTILE is computed two-phase
-    (global row number via range exchange + broadcast offsets, then the
+    (global row number via deterministic buckets + one hash exchange +
+    literal offsets, then the
     standard's front-loaded-remainder formula in exact integer
     arithmetic — functions/global_order.py), so no single-partition pass
     over the scored population exists in the plan."""
@@ -342,7 +343,7 @@ def x_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     )
     ranked = global_row_number(
-        scored, [F.desc("score"), F.asc("vec_id")], "rn", total_col="n_tot"
+        scored, [("score", "desc"), ("vec_id", "asc")], "rn", total_col="n_tot"
     ).select("y", ntile_from_rn("rn", "n_tot", 10).alias("decile"))
     overall = ranked.agg(
         F.sum("y").cast("bigint").alias("tot_pos"), F.count("*").alias("tot")
@@ -408,8 +409,9 @@ def x_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips through the shortest string repr), bin mass accumulates as
     exact BIGINTs, and each reported ratio is ONE final IEEE divide. The
     NTILE runs under a total order (score_mil, vec_id) and is computed
-    two-phase (range exchange + broadcast offsets + the front-loaded
-    remainder formula, functions/global_order.py) — no single-partition
+    clustered (deterministic buckets + one hash exchange + literal
+    offsets + the front-loaded remainder formula,
+    functions/global_order.py) — no single-partition
     window over the scored population."""
     from ..functions.global_order import global_row_number, ntile_from_rn
 
@@ -422,7 +424,7 @@ def x_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).alias("y"),
     )
     binned = global_row_number(
-        scored, [F.asc("score_mil"), F.asc("vec_id")], "rn", total_col="n_tot"
+        scored, [("score_mil", "asc"), ("vec_id", "asc")], "rn", total_col="n_tot"
     ).select(ntile_from_rn("rn", "n_tot", 10).alias("bin"), "score_mil", "y")
     agg = binned.groupBy("bin").agg(
         F.count("*").alias("n"),

@@ -89,8 +89,9 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: assign each document a pack id and
     in-pack offset from the running token count over a stable total order
     — the distributed form of the greedy packer. The prefix-sum runs
-    two-phase (range exchange on doc_id + local running sum + broadcast
-    P-row offsets, functions/global_order.py): this is THE packing pass a
+    clustered (deterministic quantile buckets on doc_id + ONE hash
+    exchange + local running sum + literal offsets,
+    functions/global_order.py): this is THE packing pass a
     100 TB corpus actually executes, so no single-partition window over
     the documents may exist in the plan. pack_id is exact integer
     floor-div of the BIGINT prior-token count (double division would lose
@@ -99,7 +100,7 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     t = d.select("doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("est_tokens"))
-    c = global_cumsum(t, [F.asc("doc_id")], F.col("est_tokens"), "prior_tokens")
+    c = global_cumsum(t, [("doc_id", "asc")], F.col("est_tokens"), "prior_tokens")
     return c.select(
         "doc_id",
         "est_tokens",
@@ -553,15 +554,16 @@ def x_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stage-count-sized (4 rows) — the same prefix-sum decomposition
     x_pack_sequences uses, so the plan scales as a partitioned window +
     broadcast join at 100 TB. The NTILE stage assignment is now ALSO
-    two-phase (global row number via range exchange + broadcast offsets
-    + the front-loaded-remainder formula, functions/global_order.py), so
+    clustered (global row number via deterministic buckets + one hash
+    exchange + literal offsets + the front-loaded-remainder formula,
+    functions/global_order.py), so
     the full plan has no single-partition pass over the corpus at all."""
     from ..functions.global_order import global_row_number, ntile_from_rn
 
     d = T(spark, sf_dir, "documents")
     scored = global_row_number(
         d.select("doc_id", "n_chars"),
-        [F.asc("n_chars"), F.asc("doc_id")],
+        [("n_chars", "asc"), ("doc_id", "asc")],
         "rn",
         total_col="n_tot",
     ).select(

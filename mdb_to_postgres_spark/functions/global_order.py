@@ -1,105 +1,164 @@
-"""Two-phase global-order primitives — global ROW_NUMBER / running sum /
-NTILE without a single-partition window.
+"""Clustered global-order primitives — global ROW_NUMBER / running sum /
+NTILE without a single-partition window AND without a double scan.
 
 `Window.orderBy(...)` with no partitionBy collapses the whole input into
 ONE task: correct, and fine on aggregate-sized input (a vocabulary, B
 bootstrap replicates), but a non-starter on corpus-sized input at 100 TB.
-These helpers implement the decomposition `sort_global_rank_twophase`
-(operators/sort_setops.py) proved hash-green against the engine's own
-ROW_NUMBER, as a reusable substrate:
 
-  phase 1: repartitionByRange on the order key — each of P partitions
-           holds a contiguous key range, scanned/ranked locally;
-  phase 2: per-partition totals (P rows) become cumulative offsets via a
-           window over P rows; global value = my range's offset + local.
+The round-7 substrate decomposed the problem with `repartitionByRange` +
+`spark_partition_id()`, but that shape had three measured defects
+(ADVICE r7): the local-window branch and the per-partition-totals branch
+were two independent lineages (double scan — 9 Exchanges, 0
+ReusedExchange in x_eval_auc), the sampled range boundaries could legally
+differ between those lineages under task retry / speculative execution
+(silent mis-ranking hazard), and `Window.partitionBy(pid)` forced a
+SECOND full-data hash exchange because RangePartitioning does not satisfy
+a hash-clustered requirement.
 
-The result is invariant to WHERE the sampled range boundaries fall — only
-the per-partition offsets change, not the arithmetic — so the
-nondeterminism of range sampling never reaches the output.
+This version replaces the sampled range exchange with a DETERMINISTIC
+bucket id computed from collected quantile boundaries, which fixes all
+three at once:
 
-CONTRACT: the order key list must be a TOTAL order (no duplicate key
-tuples). repartitionByRange gives no guarantee that duplicate keys stay in
-one partition, so rank-with-ties must be rebuilt on top of unique keys
-(e.g. group by the tie key first, then rank the distinct keys — see
-x_eval_auc). Every caller in this repo orders by a key list that includes
-a unique id tiebreak, or groups first.
+  pass 1 (build time): approx quantiles of the leading order column →
+          num_buckets-1 boundary literals. Column-pruned scan, tiny
+          driver result, Greenwald-Khanna single pass — scales.
+  pass 2 (build time): exact per-bucket SUM(value) via groupBy on the
+          bucket expression (map-side partial agg; shuffles only
+          ~num_buckets rows per input partition). Collected — at most
+          num_buckets rows — and turned into a cumulative-offset ARRAY
+          LITERAL plus a grand-total literal. This mirrors the repo's
+          O(1)-row driver probes (JDBC bounds, components fixpoint).
+  final plan: ONE scan → bucket projection → ONE hash exchange on the
+          bucket id (which SATISFIES Window.partitionBy(bucket), so no
+          second exchange) → local sort + window running sum →
+          global value = element_at(offsets, bucket + 1) + local sum.
+
+The bucket id is a pure function of the row and frozen literals — no
+`spark_partition_id()`, no sampling inside the final plan — so retries,
+speculation, and AQE re-planning cannot disagree about placement. Rows
+with equal leading keys always share a bucket (indicator comparisons are
+strict), so any tie-breaking suffix of the order stays bucket-local and
+the cumsum is exact for every total order.
+
+CONTRACT: `order_by` is a list of (column_name, "asc"|"desc") pairs and
+must describe a TOTAL order for rank semantics (callers append a unique
+id tiebreak, or group to distinct keys first — see x_eval_auc). The
+LEADING order column must be a numeric (or numeric-castable) physical
+column, non-NaN; NULLs follow Spark's default placement (asc → first,
+desc → last). Boundary skew mirrors range partitioning: a single hot key
+value lands in one bucket either way.
 """
 
 from __future__ import annotations
+
+from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_PID = "__go_pid"
-_LOCAL = "__go_local"
-_PART_SUM = "__go_psum"
-_OFFSET = "__go_offset"
+_B = "__go_bucket"
 
-# P for the range exchange. At local test scale any small value works; on
-# a real cluster this should track default parallelism. 32 matches the
-# local[32] harness and keeps each range partition cache-sized.
-_DEFAULT_PARTITIONS = 32
+# Bucket count for the clustered exchange. More buckets than shuffle
+# partitions (32 in the local harness) keeps hash placement smooth; on a
+# real cluster raise this with parallelism — the per-call cost is only a
+# num_buckets-long literal array and a num_buckets-term bucket expression.
+_DEFAULT_BUCKETS = 64
+
+
+def _bucket_expr(key: str, descending: bool, bounds: list) -> Column:
+    """Deterministic bucket id: the count of quantile boundaries strictly
+    below (asc) / above (desc) the key — monotone in the sort order, and
+    equal keys always collide into one bucket."""
+    if not bounds:
+        return F.lit(0)
+    k = F.col(key)
+    ind: Column | None = None
+    for b in bounds:
+        term = F.when((k < F.lit(b)) if descending else (k > F.lit(b)), 1).otherwise(0)
+        ind = term if ind is None else ind + term
+    null_bucket = len(bounds) if descending else 0  # asc: NULLS FIRST; desc: LAST
+    return F.when(k.isNull(), F.lit(null_bucket)).otherwise(ind)
+
+
+def _sort_cols(order_by: list[tuple[str, str]]) -> list[Column]:
+    return [F.asc(c) if d == "asc" else F.desc(c) for c, d in order_by]
+
+
+def _normalize(nums: list):
+    """Give F.array one coercible literal family (int/float/Decimal)."""
+    if any(isinstance(v, float) for v in nums):
+        return [float(v) for v in nums]
+    if any(isinstance(v, Decimal) for v in nums):
+        return [Decimal(v) for v in nums]
+    return nums
 
 
 def global_cumsum(
     df: DataFrame,
-    order_by: list[Column],
+    order_by: list[tuple[str, str]],
     value: Column,
     out: str,
     *,
     inclusive: bool = False,
     total_col: str | None = None,
-    num_partitions: int = _DEFAULT_PARTITIONS,
+    num_buckets: int = _DEFAULT_BUCKETS,
+    rel_err: float = 0.001,
 ) -> DataFrame:
     """Append `out` = global running sum of `value` over the total order
     `order_by` (exclusive of the current row by default), plus optionally
     `total_col` = the grand total on every row.
 
-    Plan shape: one range Exchange + a local window keyed on the
-    materialized partition id + a broadcast join of a P-row offsets table.
-    No stage ever holds more than one range of the data; the only
-    single-partition window runs over P rows.
+    Final plan shape (asserted in tests/test_global_order.py): one scan,
+    ONE hash Exchange on the deterministic bucket id, one WindowExec —
+    no range exchange, no SinglePartition exchange, no join. Two
+    column-pruned auxiliary actions run at build time (quantile
+    boundaries; exact per-bucket totals, ≤ num_buckets rows collected).
     """
-    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
-        _PID, F.spark_partition_id()
-    )
+    key, direction = order_by[0]
+    descending = direction == "desc"
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(key, probs, rel_err)
+    bucket = _bucket_expr(key, descending, bounds)
+
+    totals = {
+        r["b"]: r["s"]
+        for r in df.groupBy(bucket.alias("b")).agg(F.sum(value).alias("s")).collect()
+        if r["s"] is not None
+    }
+    offs, run = [], 0
+    for i in range(num_buckets):
+        offs.append(run)
+        run = run + totals.get(i, 0)
+    norm = _normalize(offs + [run])
+    offs, grand = norm[:-1], norm[-1]
+    off_at = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col(_B) + 1)
+
     upper = 0 if inclusive else -1
-    w_local = (
-        Window.partitionBy(_PID)
-        .orderBy(*order_by)
+    w = (
+        Window.partitionBy(_B)
+        .orderBy(*_sort_cols(order_by))
         .rowsBetween(Window.unboundedPreceding, upper)
     )
-    local = ranged.withColumn(
-        _LOCAL, F.coalesce(F.sum(value).over(w_local), F.lit(0))
-    )
-    parts = ranged.groupBy(_PID).agg(F.sum(value).alias(_PART_SUM))
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = parts.withColumn(
-        _OFFSET, F.coalesce(F.sum(_PART_SUM).over(w_off), F.lit(0))
+    res = df.withColumn(_B, bucket).withColumn(
+        out, F.coalesce(F.sum(value).over(w), F.lit(0)) + off_at
     )
     if total_col is not None:
-        w_all = Window.orderBy(_PID).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        offsets = offsets.withColumn(total_col, F.sum(_PART_SUM).over(w_all))
-    keep = [_PID, _OFFSET] + ([total_col] if total_col else [])
-    joined = local.join(F.broadcast(offsets.select(*keep)), _PID)
-    return joined.withColumn(out, F.col(_OFFSET) + F.col(_LOCAL)).drop(
-        _PID, _LOCAL, _OFFSET
-    )
+        res = res.withColumn(total_col, F.lit(grand))
+    return res.drop(_B)
 
 
 def global_row_number(
     df: DataFrame,
-    order_by: list[Column],
+    order_by: list[tuple[str, str]],
     out: str = "rn",
     *,
     total_col: str | None = None,
-    num_partitions: int = _DEFAULT_PARTITIONS,
+    num_buckets: int = _DEFAULT_BUCKETS,
 ) -> DataFrame:
     """Append `out` = ROW_NUMBER() OVER (ORDER BY order_by) — 1-based —
-    computed two-phase. Requires `order_by` to be a total order."""
+    computed via the clustered-bucket cumsum. Requires `order_by` to be a
+    total order."""
     return global_cumsum(
         df,
         order_by,
@@ -107,7 +166,7 @@ def global_row_number(
         out,
         inclusive=True,
         total_col=total_col,
-        num_partitions=num_partitions,
+        num_buckets=num_buckets,
     )
 
 

@@ -1,7 +1,9 @@
-"""functions/global_order.py — the two-phase substrate must reproduce
-Spark's own global-window results bit-for-bit, because eight registered
-queries now route their global ROW_NUMBER / running-sum / NTILE through
-it. Checked against the engine's single-partition form on real tables."""
+"""functions/global_order.py — the clustered-bucket substrate must
+reproduce Spark's own global-window results bit-for-bit, because eight
+registered queries route their global ROW_NUMBER / running-sum / NTILE
+through it. Checked against the engine's single-partition form on real
+tables, and the plan contract (ONE hash exchange, no range exchange, no
+join, no SinglePartition over data) is asserted, not assumed."""
 
 from __future__ import annotations
 
@@ -19,11 +21,13 @@ from tests.conftest import ORACLE_SF
 
 def test_global_row_number_matches_window(spark):
     c = T(spark, ORACLE_SF, "customer").select("c_custkey", "c_acctbal")
-    order = [F.asc("c_acctbal"), F.asc("c_custkey")]
+    order = [("c_acctbal", "asc"), ("c_custkey", "asc")]
     two = global_row_number(c, order, "rn", total_col="n").toPandas()
     ref = c.select(
         "c_custkey",
-        F.row_number().over(Window.orderBy(*order)).alias("rn"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey")))
+        .alias("rn"),
     ).toPandas()
     assert two.n.nunique() == 1 and two.n.iloc[0] == len(ref)
     merged = two.merge(ref, on="c_custkey", suffixes=("", "_ref"))
@@ -35,7 +39,7 @@ def test_global_cumsum_exclusive_matches_window(spark):
     o = T(spark, ORACLE_SF, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
     )
-    order = [F.asc("o_orderkey")]
+    order = [("o_orderkey", "asc")]
     two = global_cumsum(o, order, F.col("p"), "prior").toPandas()
     w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, -1)
     ref = o.select(
@@ -46,11 +50,31 @@ def test_global_cumsum_exclusive_matches_window(spark):
     assert (merged.prior == merged.prior_ref).all()
 
 
+def test_global_cumsum_ties_on_leading_key(spark):
+    # Heavy duplicate leading keys (o_orderpriority: 5 distinct values
+    # across 15k orders) must all land in one bucket per value, so the
+    # tie-breaking suffix stays bucket-local and the cumsum is exact.
+    o = T(spark, ORACLE_SF, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 5).alias("grp")
+    )
+    order = [("grp", "asc"), ("o_orderkey", "asc")]
+    two = global_row_number(o, order, "rn").toPandas()
+    ref = o.select(
+        "o_orderkey",
+        F.row_number()
+        .over(Window.orderBy(F.asc("grp"), F.asc("o_orderkey")))
+        .alias("rn"),
+    ).toPandas()
+    merged = two.merge(ref, on="o_orderkey", suffixes=("", "_ref"))
+    assert len(merged) == len(ref)
+    assert (merged.rn == merged.rn_ref).all()
+
+
 def test_ntile_formula_matches_engine_all_remainders(spark):
     # k=7 over n=1500 customers (1500 % 7 = 2: fat and thin tiles both
     # occur), plus k=4; and n < k via a filtered frame.
     c = T(spark, ORACLE_SF, "customer").select("c_custkey")
-    order = [F.asc("c_custkey")]
+    order = [("c_custkey", "asc")]
     for k, frame in ((7, c), (4, c), (7, c.filter(F.col("c_custkey") <= 3))):
         two = (
             global_row_number(frame, order, "rn", total_col="n")
@@ -58,7 +82,8 @@ def test_ntile_formula_matches_engine_all_remainders(spark):
             .toPandas()
         )
         ref = frame.select(
-            "c_custkey", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+            "c_custkey",
+            F.ntile(k).over(Window.orderBy(F.asc("c_custkey"))).alias("t"),
         ).toPandas()
         merged = two.merge(ref, on="c_custkey", suffixes=("", "_ref"))
         assert len(merged) == len(ref)
@@ -67,20 +92,31 @@ def test_ntile_formula_matches_engine_all_remainders(spark):
 
 def test_global_row_number_desc_order(spark):
     c = T(spark, ORACLE_SF, "customer").select("c_custkey", "c_acctbal")
-    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    order = [("c_acctbal", "desc"), ("c_custkey", "asc")]
     two = global_row_number(c, order, "rn").toPandas()
     ref = c.select(
-        "c_custkey", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        "c_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+        .alias("rn"),
     ).toPandas()
     merged = two.merge(ref, on="c_custkey", suffixes=("", "_ref"))
     assert (merged.rn == merged.rn_ref).all()
 
 
-def test_no_single_partition_exchange_over_data(spark):
-    # the point of the substrate: the only SinglePartition exchange feeds
-    # the P-row offsets window, never the data-sized stream. Assert the
-    # data path goes through a range exchange.
+def test_single_hash_exchange_no_join(spark):
+    # THE plan contract that replaced round 7's range/_PID design: the
+    # final plan moves the data exactly once — one hash exchange on the
+    # deterministic bucket column that also satisfies the window's
+    # clustering — with no range exchange, no broadcast join for the
+    # offsets (they are literals), and no SinglePartition exchange over
+    # the data stream.
     c = T(spark, ORACLE_SF, "customer").select("c_custkey")
-    df = global_row_number(c, [F.asc("c_custkey")], "rn")
+    df = global_row_number(c, [("c_custkey", "asc")], "rn")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
+    low = plan.lower()
+    assert low.count("exchange") == 1, plan
+    assert "hashpartitioning(__go_bucket" in low, plan
+    assert "rangepartitioning" not in low, plan
+    assert "singlepartition" not in low, plan
+    assert "join" not in low, plan

@@ -390,13 +390,22 @@ def test_prefix_filter_only_match_stream_rides_smj(spark):
     assert plan.count("SortMergeJoin") <= 2, plan
 
 
-def test_auc_ranks_in_one_exchange(spark):
-    # Mann-Whitney AUC at this sf: one exchange feeds the rank window and
-    # the final scalar agg (the two-phase global-rank twin shows the
-    # cluster-scale shape; see sort_global_rank_twophase).
+def test_auc_ranks_clustered_single_data_exchange(spark):
+    # Mann-Whitney AUC through the clustered global_cumsum substrate: the
+    # distinct-score stream moves once through the deterministic-bucket
+    # hash exchange (which satisfies the rank window's clustering — no
+    # second exchange, no range exchange, no offsets join), and the only
+    # SinglePartition exchange is the final scalar aggregate.
     plan = explain_str(QUERIES["x_eval_auc"](spark, ORACLE_SF))
-    assert "Window" in plan, plan
-    assert plan.count("Exchange") <= 4, plan
+    low = plan.lower()
+    assert "window" in low, plan
+    assert "hashpartitioning(__go_bucket" in low, plan
+    assert "rangepartitioning" not in low, plan
+    assert low.count("singlepartition") <= 1, plan  # scalar agg only
+    # scan -> groupBy(score) exchange -> bucket exchange -> scalar agg:
+    # three exchanges total, none of them data-sized re-scans (formatted
+    # plans mention each node twice).
+    assert plan.count("Exchange") <= 6, plan
 
 
 def test_no_plan_antipatterns_anywhere(spark):
