@@ -37,6 +37,10 @@ _EXCLUDE = {
 
 _TOP_K = 12  # heaviest queries inlined on the stdout line
 
+# Full-resolution sidecar, absolute so the stdout line resolves from any
+# CWD; untracked (see .gitignore) — it is a per-run measurement artifact.
+_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+
 
 def _tier(name: str) -> str:
     """Coarse query family: first name token, or first two for the x_
@@ -52,7 +56,8 @@ def build_payload(timings: dict[str, float], sf: str) -> str:
     starts mid-key. So the line now stays BOUNDED regardless of registry
     size: contract keys, the TOTAL, per-tier subtotals, and only the
     _TOP_K heaviest queries inline; the complete per-query map goes to
-    the bench_full.json sidecar (path in the "full" key). Kept as a
+    the bench_full.json sidecar (ABSOLUTE path in the "full" key, so a
+    driver parsing the line from any CWD can resolve it). Kept as a
     separate function so tests can assert the line stays machine-parseable
     and under the capture limit at any registry size."""
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:_TOP_K])
@@ -67,7 +72,7 @@ def build_payload(timings: dict[str, float], sf: str) -> str:
             "n_queries": len(timings),
             "queries": {n: round(v, 2) for n, v in top.items()},
             "tiers": {t: round(v, 2) for t, v in sorted(tiers.items())},
-            "full": "bench_full.json",
+            "full": _SIDECAR,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),
@@ -121,7 +126,7 @@ def main() -> None:
     # Full-resolution record: the stdout line carries only the top-K +
     # tier subtotals, so the complete per-query map (cold + both warm
     # passes + the min-of-warm headline) lands in a sidecar next to bench.py.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+    with open(_SIDECAR, "w") as f:
         json.dump(
             {
                 "sf": sf,

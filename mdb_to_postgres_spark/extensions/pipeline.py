@@ -766,7 +766,10 @@ def etl_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Access-export world of the reference) still ships incremental
     changes downstream: hash-compare snapshots, emit only churn. Shuffle
     carries ids + 32-byte hashes, never document bytes; feed size is
-    proportional to churn, not corpus."""
+    proportional to churn, not corpus. op_seq is a clustered global row
+    number (functions/global_order.py) bucketed on the ASC-monotone
+    composite op_class*2^42 + doc_id (op_class alone has 3 values), so
+    even a corpus-sized churn feed never funnels through one task."""
     v1 = T(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("old_h"))
     v2 = _corpus_v2(spark, sf_dir).select("doc_id", F.md5("text").alias("new_h"))
     j = v1.join(v2, "doc_id", "full_outer")
@@ -791,10 +794,15 @@ def etl_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             op_class.alias("op_class"),
         )
     )
-    w = Window.orderBy("op_class", "doc_id")
-    return ops.select(
-        "op", "doc_id", "content_hash", F.row_number().over(w).alias("op_seq")
+    from ..functions.global_order import global_row_number
+
+    seq = global_row_number(
+        ops,
+        [("op_class", "asc"), ("doc_id", "asc")],
+        "op_seq",
+        bucket_key=F.col("op_class") * F.lit(2**42) + F.col("doc_id"),
     )
+    return seq.select("op", "doc_id", "content_hash", "op_seq")
 
 
 @query(

@@ -1171,14 +1171,19 @@ def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = flat_emb(e.filter(F.col("vec_id") == 0), "qid", "q")
     corpus = flat_corpus(spark, sf_dir)
     cos = dot_flat("q", "c") / (F.col("qnorm") * F.col("cnorm"))
+    # Top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heap,
+    # only 20 rows per partition reach the driver-side merge) — NOT a
+    # full-corpus row_number window, which would funnel every scored
+    # vector through one task. The rank window then runs over 20 rows.
     vec = (
         corpus.crossJoin(F.broadcast(qv))
         .select(F.col("neighbor_id").alias("doc_id"), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(20)
         .withColumn(
             "vec_rank",
             F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))),
         )
-        .filter(F.col("vec_rank") <= 20)
         .select("doc_id", "vec_rank")
     )
     fused = (

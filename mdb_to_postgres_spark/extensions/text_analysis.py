@@ -407,27 +407,39 @@ def x_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-balance probe a tokenizer-training pipeline runs first.
     Deterministic: integer counts, rank ties broken by term, two divides.
 
-    Scale: term-frequency shuffle ∝ vocabulary size, then a single-node
-    window over the (tiny) vocabulary — never over the corpus."""
+    Scale: term-frequency shuffle ∝ vocabulary size (checkpointed once),
+    then the top-25 comes from orderBy+limit (TakeOrderedAndProject —
+    per-partition heap, never a vocabulary-wide rank window; vocabularies
+    grow heavy-tailed with the corpus) and only the 25 survivors are
+    ranked; the denominators are one mergeable aggregate."""
     d = T(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(_TOKS()).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint()
     from pyspark.sql.window import Window
 
-    ranked = tf.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+    tot = tf.agg(
+        F.count("*").alias("vocab_size"), F.sum("c").alias("total_tokens")
     )
-    top10 = F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(F.lit(0)))
-    top25 = F.sum(F.when(F.col("rn") <= 25, F.col("c")).otherwise(F.lit(0)))
-    return ranked.agg(
-        F.count("*").alias("vocab_size"),
-        F.sum("c").alias("total_tokens"),
-        (top10.cast("double") / F.sum("c")).alias("top10_share"),
-        (top25.cast("double") / F.sum("c")).alias("top25_share"),
+    top = (
+        tf.orderBy(F.desc("c"), F.asc("term"))
+        .limit(25)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+        )
+    )
+    tops = top.agg(
+        F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(F.lit(0))).alias("t10"),
+        F.sum("c").alias("t25"),
+    )
+    return tot.crossJoin(F.broadcast(tops)).select(
+        "vocab_size",
+        "total_tokens",
+        (F.col("t10").cast("double") / F.col("total_tokens")).alias("top10_share"),
+        (F.col("t25").cast("double") / F.col("total_tokens")).alias("top25_share"),
     )
 
 
@@ -1523,9 +1535,15 @@ def x_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("tf"))
     )
-    ranked = tf.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term")))
-    ).filter(F.col("rnk") <= 1000)
+    # Top-1000 via orderBy+limit (TakeOrderedAndProject) — never a
+    # vocabulary-wide rank window; only the survivors get ranked.
+    ranked = (
+        tf.orderBy(F.desc("tf"), F.asc("term"))
+        .limit(1000)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term")))
+        )
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("rnk").cast("double")) * 1000000).cast("bigint").alias("x"),
         F.floor(F.log(F.col("tf").cast("double")) * 1000000).cast("bigint").alias("y"),

@@ -66,13 +66,17 @@ _B = "__go_bucket"
 _DEFAULT_BUCKETS = 64
 
 
-def _bucket_expr(key: str, descending: bool, bounds: list) -> Column:
+def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
     """Deterministic bucket id: the count of quantile boundaries strictly
     below (asc) / above (desc) the key — monotone in the sort order, and
     equal keys always collide into one bucket."""
     if not bounds:
         return F.lit(0)
-    k = F.col(key)
+    # Compare through a double cast — monotone nondecreasing for every
+    # numeric type (incl. decimal), so bucket placement stays consistent
+    # with the sort order; cast collisions only merge buckets, never split
+    # equal keys.
+    k = key.cast("double")
     ind: Column | None = None
     for b in bounds:
         term = F.when((k < F.lit(b)) if descending else (k > F.lit(b)), 1).otherwise(0)
@@ -94,6 +98,74 @@ def _normalize(nums: list):
     return nums
 
 
+def global_cumsum_multi(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    values: list[tuple[Column, str]],
+    *,
+    inclusive: bool = False,
+    total_col: str | None = None,
+    num_buckets: int = _DEFAULT_BUCKETS,
+    rel_err: float = 0.001,
+    bucket_key: Column | None = None,
+) -> DataFrame:
+    """Append one global running sum column per (value, out) pair over the
+    SHARED total order `order_by` (exclusive of the current row by
+    default) — all sums ride ONE bucket exchange and ONE WindowExec.
+    `total_col` (if set) names a grand-total column for the FIRST value.
+
+    `bucket_key` overrides the bucketing expression for orders whose
+    LEADING column is too low-cardinality to spread buckets (e.g. a
+    3-value op class): pass any numeric expression that is
+    ASCENDING-monotone in the total order (a composite like
+    class * 2^42 + id). Bucketing never changes results — only balance —
+    because equal bucket keys always share a bucket and the window still
+    sorts by the full order inside it.
+
+    Final plan shape (asserted in tests/test_global_order.py): one scan,
+    ONE hash Exchange on the deterministic bucket id, one WindowExec —
+    no range exchange, no SinglePartition exchange, no join. Two
+    column-pruned auxiliary actions run at build time (quantile
+    boundaries; exact per-bucket totals, ≤ num_buckets rows collected).
+    """
+    if bucket_key is None:
+        key, direction = order_by[0]
+        bkey, descending = F.col(key), direction == "desc"
+    else:
+        bkey, descending = bucket_key, False
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.select(bkey.cast("double").alias("__go_key")).stat.approxQuantile(
+        "__go_key", probs, rel_err
+    )
+    bucket = _bucket_expr(bkey, descending, bounds)
+
+    sums = [F.sum(v).alias(f"s{i}") for i, (v, _) in enumerate(values)]
+    rows = {r["b"]: r for r in df.groupBy(bucket.alias("b")).agg(*sums).collect()}
+    upper = 0 if inclusive else -1
+    w = (
+        Window.partitionBy(_B)
+        .orderBy(*_sort_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    res = df.withColumn(_B, bucket)
+    for i, (value, out) in enumerate(values):
+        offs, run = [], 0
+        for b in range(num_buckets):
+            offs.append(run)
+            r = rows.get(b)
+            if r is not None and r[f"s{i}"] is not None:
+                run = run + r[f"s{i}"]
+        norm = _normalize(offs + [run])
+        offs, grand = norm[:-1], norm[-1]
+        off_at = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col(_B) + 1)
+        res = res.withColumn(
+            out, F.coalesce(F.sum(value).over(w), F.lit(0)) + off_at
+        )
+        if i == 0 and total_col is not None:
+            res = res.withColumn(total_col, F.lit(grand))
+    return res.drop(_B)
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: list[tuple[str, str]],
@@ -104,47 +176,78 @@ def global_cumsum(
     total_col: str | None = None,
     num_buckets: int = _DEFAULT_BUCKETS,
     rel_err: float = 0.001,
+    bucket_key: Column | None = None,
 ) -> DataFrame:
-    """Append `out` = global running sum of `value` over the total order
-    `order_by` (exclusive of the current row by default), plus optionally
-    `total_col` = the grand total on every row.
+    """Single-value form of `global_cumsum_multi` (see its docstring for
+    the plan contract and the `bucket_key` escape hatch)."""
+    return global_cumsum_multi(
+        df,
+        order_by,
+        [(value, out)],
+        inclusive=inclusive,
+        total_col=total_col,
+        num_buckets=num_buckets,
+        rel_err=rel_err,
+        bucket_key=bucket_key,
+    )
 
-    Final plan shape (asserted in tests/test_global_order.py): one scan,
-    ONE hash Exchange on the deterministic bucket id, one WindowExec —
-    no range exchange, no SinglePartition exchange, no join. Two
-    column-pruned auxiliary actions run at build time (quantile
-    boundaries; exact per-bucket totals, ≤ num_buckets rows collected).
-    """
-    key, direction = order_by[0]
-    descending = direction == "desc"
+
+def global_running_max(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    value: Column,
+    out: str,
+    *,
+    inclusive: bool = False,
+    num_buckets: int = _DEFAULT_BUCKETS,
+    rel_err: float = 0.001,
+    bucket_key: Column | None = None,
+) -> DataFrame:
+    """Append `out` = global running MAX of `value` over the total order
+    `order_by` (exclusive of the current row by default — the watermark
+    shape). Same single-exchange clustered plan as `global_cumsum_multi`:
+    per-bucket maxes collect as a literal array of prefix maxes (NULL for
+    'no prior bucket', exactly the empty-frame window semantics), and the
+    global value is greatest(local running max, prior-bucket max)."""
+    if bucket_key is None:
+        key, direction = order_by[0]
+        bkey, descending = F.col(key), direction == "desc"
+    else:
+        bkey, descending = bucket_key, False
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.stat.approxQuantile(key, probs, rel_err)
-    bucket = _bucket_expr(key, descending, bounds)
+    bounds = df.select(bkey.cast("double").alias("__go_key")).stat.approxQuantile(
+        "__go_key", probs, rel_err
+    )
+    bucket = _bucket_expr(bkey, descending, bounds)
 
-    totals = {
-        r["b"]: r["s"]
-        for r in df.groupBy(bucket.alias("b")).agg(F.sum(value).alias("s")).collect()
-        if r["s"] is not None
+    maxes = {
+        r["b"]: r["m"]
+        for r in df.groupBy(bucket.alias("b")).agg(F.max(value).alias("m")).collect()
+        if r["m"] is not None
     }
-    offs, run = [], 0
-    for i in range(num_buckets):
+    offs, run = [], None
+    for b in range(num_buckets):
         offs.append(run)
-        run = run + totals.get(i, 0)
-    norm = _normalize(offs + [run])
-    offs, grand = norm[:-1], norm[-1]
-    off_at = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col(_B) + 1)
-
+        m = maxes.get(b)
+        if m is not None:
+            run = m if run is None else max(run, m)
+    non_null = _normalize([o for o in offs if o is not None])
+    it = iter(non_null)
+    typed = [next(it) if o is not None else None for o in offs]
+    # NullType literals coerce to the array's common type; an all-None
+    # array (every frame empty) stays array<null> and element_at yields
+    # NULL, which greatest() ignores — the empty-frame window semantics.
+    arr = F.array(*[F.lit(o) for o in typed])
     upper = 0 if inclusive else -1
     w = (
         Window.partitionBy(_B)
         .orderBy(*_sort_cols(order_by))
         .rowsBetween(Window.unboundedPreceding, upper)
     )
+    off_at = F.element_at(arr, F.col(_B) + 1)
     res = df.withColumn(_B, bucket).withColumn(
-        out, F.coalesce(F.sum(value).over(w), F.lit(0)) + off_at
+        out, F.greatest(F.max(value).over(w), off_at)
     )
-    if total_col is not None:
-        res = res.withColumn(total_col, F.lit(grand))
     return res.drop(_B)
 
 
@@ -155,6 +258,7 @@ def global_row_number(
     *,
     total_col: str | None = None,
     num_buckets: int = _DEFAULT_BUCKETS,
+    bucket_key: Column | None = None,
 ) -> DataFrame:
     """Append `out` = ROW_NUMBER() OVER (ORDER BY order_by) — 1-based —
     computed via the clustered-bucket cumsum. Requires `order_by` to be a
@@ -167,6 +271,7 @@ def global_row_number(
         inclusive=True,
         total_col=total_col,
         num_buckets=num_buckets,
+        bucket_key=bucket_key,
     )
 
 

@@ -871,18 +871,23 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n+1)*SUM(x)) / (n*SUM(x)) with integer accumulators only — the
     rank's tie order doesn't affect the sum (equal x within a tie block
     contribute x*SUM(i) regardless of permutation), so the statistic is
-    deterministic cross-engine. Key counts are one two-phase aggregate;
-    the ranked pass runs over keys, not rows (1 row per key, and at scale
-    a range-partitioned sort), so profiling cost is O(distinct keys)
-    after the first map-side combine."""
-    from pyspark.sql.window import Window
+    deterministic cross-engine. Key counts are one two-phase aggregate
+    checkpointed once (1 row per key); the ranked pass runs clustered
+    (functions/global_order.py, bucketed on the ASC-monotone composite
+    cnt*2^42 + custkey because cnt alone is low-cardinality), so
+    profiling cost is O(distinct keys) after the first map-side combine
+    with no single-partition window over the key set."""
+    from ..functions.global_order import global_row_number
 
     counts = (
         T(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("cnt"))
-    )
-    ranked = counts.select(
-        "cnt", F.row_number().over(Window.orderBy("cnt", "o_custkey")).alias("i")
-    )
+    ).localCheckpoint()
+    ranked = global_row_number(
+        counts,
+        [("cnt", "asc"), ("o_custkey", "asc")],
+        "i",
+        bucket_key=F.col("cnt") * F.lit(2**42) + F.col("o_custkey"),
+    ).select("cnt", "i")
     n = F.count("*")
     tot = F.sum("cnt")
     return ranked.agg(
@@ -1455,10 +1460,12 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|c1*n2 - c2*n1| over the common denominator n1*n2), so the MAX is
     over exact BIGINTs — no float ECDF subtraction anywhere — and the
     reported D is one final divide. Shape: per-value counts (two-phase
-    agg), one ordered prefix-sum over DISTINCT values (range-partitioned
-    sort at scale; the distinct-value table is already far smaller than
-    the data), and a scalar max."""
-    from pyspark.sql.window import Window
+    agg) checkpointed once (the distinct-value table is already far
+    smaller than the data), then BOTH ECDF prefix-sums ride one
+    clustered-bucket exchange + one WindowExec
+    (functions/global_order.py global_cumsum_multi — no single-partition
+    window over the distinct values), and a scalar max."""
+    from ..functions.global_order import global_cumsum_multi
 
     ev = T(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "error"))
     s = ev.select(
@@ -1468,11 +1475,13 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = s.groupBy("v").agg(
         F.sum("g1").cast("bigint").alias("n1_v"), F.sum("g2").cast("bigint").alias("n2_v")
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = pv.select(
-        F.sum("n1_v").over(w).alias("c1"), F.sum("n2_v").over(w).alias("c2")
-    )
+    ).localCheckpoint()
+    cum = global_cumsum_multi(
+        pv,
+        [("v", "asc")],
+        [(F.col("n1_v"), "c1"), (F.col("n2_v"), "c2")],
+        inclusive=True,
+    ).select("c1", "c2")
     tot = pv.agg(
         F.sum("n1_v").cast("bigint").alias("n1"), F.sum("n2_v").cast("bigint").alias("n2")
     )

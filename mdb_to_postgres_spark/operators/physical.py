@@ -329,7 +329,13 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange(morton) + sortWithinPartitions at write time; the
     NTILE split here is the same range division made hash-checkable (the
     (morton, orderkey, linenumber) tiebreak makes the tile assignment a
-    total order, so both engines cut identical groups)."""
+    total order, so both engines cut identical groups). The tile
+    assignment runs clustered (functions/global_order.py: deterministic
+    morton-quantile buckets + one hash exchange + the exact
+    front-loaded-remainder NTILE formula) — no single-partition window
+    over the fact table."""
+    from ..functions.global_order import global_row_number, ntile_from_rn
+
     z = T(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -337,11 +343,14 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("morton", "l_orderkey", "l_linenumber")
+    ranked = global_row_number(
+        z,
+        [("morton", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        "rn",
+        total_col="n_tot",
+    )
     return (
-        z.withColumn("zgroup", F.ntile(16).over(w))
+        ranked.withColumn("zgroup", ntile_from_rn("rn", "n_tot", 16))
         .groupBy("zgroup")
         .agg(
             F.count("*").alias("cnt"),

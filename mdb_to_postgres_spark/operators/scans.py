@@ -919,21 +919,25 @@ def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish the per-dimension rollup that a BI layer reads — the
     warehouse-modeling step between raw events and reporting.
 
-    DENSE_RANK over a sorted distinct-key set is the deterministic
-    surrogate generator (same key -> same sk on every engine and every
-    rerun — monotonically_increasing_id would be neither); at 100 TB the
-    rank runs over DISTINCT keys only (users, not events) and incremental
-    loads extend it with max(sk) + dense_rank over the new keys.
+    Rank over a sorted distinct-key set is the deterministic surrogate
+    generator (same key -> same sk on every engine and every rerun —
+    monotonically_increasing_id would be neither); at 100 TB the rank
+    runs over DISTINCT keys only (users, not events) and incremental
+    loads extend it with max(sk) + rank over the new keys. The
+    entity-sized user dimension ranks through the clustered global-order
+    substrate over a checkpointed distinct-key set (one events scan, no
+    single-partition window over millions of users; dense_rank ==
+    row_number on distinct keys); the type dimension is definitionally
+    tiny (a handful of event types) and keeps the plain window.
     Dimension joins broadcast (dims are small by construction); the fact
     never shuffles except for the final rollup."""
     from pyspark.sql.window import Window
 
+    from ..functions.global_order import global_row_number
+
     ev = tbl(spark, sf_dir, "events")
-    dim_user = (
-        ev.select("user_id")
-        .distinct()
-        .withColumn("user_sk", F.dense_rank().over(Window.orderBy("user_id")))
-    )
+    user_keys = ev.select("user_id").distinct().localCheckpoint()
+    dim_user = global_row_number(user_keys, [("user_id", "asc")], "user_sk")
     dim_type = (
         ev.select("event_type")
         .distinct()
@@ -946,7 +950,7 @@ def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_sk", "type_sk", F.col("value").cast("decimal(18,2)").alias("v")
         )
     )
-    n_users = dim_user.agg(F.count("*").alias("dim_user_rows"))
+    n_users = user_keys.agg(F.count("*").alias("dim_user_rows"))
     return (
         fact.join(F.broadcast(dim_type.select("type_sk", "event_type")), "type_sk")
         .groupBy("type_sk", "event_type")

@@ -21,17 +21,19 @@ from ..sources.tables import T
 def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total-order sort (#39), made hash-observable by materializing
     the position. A global ORDER BY is a range-partitioned sort in Spark;
-    the observable position here uses an unpartitioned window, which is
-    single-task — fine for a ranking of a small table, and the documented
-    anti-pattern for big ones (use zipWithIndex-free rank-per-partition or
-    keep the ordering implicit at scale)."""
-    w = Window.orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey"))
-    return (
-        T(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
-        .orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey"))
-        .withColumn("pos", F.row_number().over(w))
+    the observable position comes from the clustered global-order
+    substrate (functions/global_order.py — deterministic quantile buckets,
+    one hash exchange, literal offsets), so even the position column never
+    funnels the table through one task; the final ORDER BY presents the
+    rows range-sorted."""
+    from ..functions.global_order import global_row_number
+
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
+    return global_row_number(
+        s, [("s_acctbal", "desc"), ("s_suppkey", "asc")], "pos"
+    ).orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey"))
 
 
 @query(

@@ -172,13 +172,30 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist (#37) over a total order."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return T(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    """ntile / percent_rank / cume_dist (#37) over a total order.
+
+    Under a TOTAL order (acctbal, custkey — custkey unique) rank ==
+    row_number and cume counts rows <= current, so all three derive
+    exactly from the clustered global row number + total
+    (functions/global_order.py): ntile via the front-loaded-remainder
+    formula, percent_rank = (rn-1)/(n-1) (0.0 when n == 1, the SQL
+    convention), cume_dist = rn/n. No single-partition window over the
+    customer set."""
+    from ..functions.global_order import global_row_number, ntile_from_rn
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_row_number(
+        c, [("c_acctbal", "asc"), ("c_custkey", "asc")], "rn", total_col="n_t"
+    )
+    n, rn = F.col("n_t"), F.col("rn")
+    return ranked.select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_from_rn("rn", "n_t", 4).alias("quartile"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((rn - 1).cast("double") / (n - 1))
+        .alias("pct_rank"),
+        (rn.cast("double") / n).alias("cume"),
     )
 
 
@@ -655,11 +672,14 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     session ending exactly as another starts never double-counts.
 
     Scale shape: the sweep runs over session BOUNDARIES (two thin rows
-    per session), not events; the global ordered sum is the textbook
-    two-phase prefix sum at cluster scale (per-partition partials + a
-    broadcast carry), the same pattern x_pack_sequences uses for global
-    offsets. Sessionization itself is the gaps-islands window — one
+    per session, checkpointed once), not events; the global ordered sum
+    runs clustered (functions/global_order.py: deterministic time-quantile
+    buckets + one hash exchange + literal carry offsets — no
+    single-partition pass over the boundary stream; tied (t, d) rows
+    carry equal deltas, so the running sum is order-independent within
+    ties). Sessionization itself is the gaps-islands window — one
     shuffle on user_id."""
+    from ..functions.global_order import global_cumsum
     ev = events_ts(spark, sf_dir).select("user_id", "ts_sec")
     w_user = Window.partitionBy("user_id").orderBy("ts_sec")
     marked = ev.withColumn(
@@ -679,9 +699,10 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
         sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    ).localCheckpoint()
+    curve = global_cumsum(
+        bounds, [("t", "asc"), ("d", "asc")], F.col("d"), "concurrent", inclusive=True
     )
-    w_sweep = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
-    curve = bounds.withColumn("concurrent", F.sum("d").over(w_sweep))
     return (
         curve.groupBy(((F.col("t") / 3600).cast("bigint") * 3600).alias("hour_start"))
         .agg(
@@ -992,19 +1013,28 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Class boundaries compare exact DECIMAL cumulative sums against
     integer-scaled thresholds (10*cum < 8*total for 80%) — no float
     ratio ever computed, so the classification is bit-deterministic.
-    One groupBy + one ordered prefix-sum window (range-partitioned sort
-    at scale) + a 3-row rollup."""
+    One groupBy checkpointed once (per-part aggregate, entity-sized),
+    then the PRIOR cumulative revenue and the grand total both come from
+    one clustered-bucket exchange + window (functions/global_order.py:
+    the exclusive cumsum IS prior, the total is a literal — no
+    single-partition window over the parts, no crossJoin for the
+    total)."""
+    from ..functions.global_order import global_cumsum
+
     li = T(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+    ).localCheckpoint()
+    ranked = global_cumsum(
+        rev,
+        [("revenue", "desc"), ("l_partkey", "asc")],
+        F.col("revenue"),
+        "prior",
+        inclusive=False,
+        total_col="total",
     )
-    tot = rev.agg(F.sum("revenue").alias("total"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = rev.withColumn("cum_revenue", F.sum("revenue").over(w))
-    prior = F.col("cum_revenue") - F.col("revenue")
-    cls = ranked.crossJoin(F.broadcast(tot)).select(
+    prior = F.col("prior")
+    cls = ranked.select(
         "l_partkey",
         "revenue",
         F.when(10 * prior < 8 * F.col("total"), "A")
@@ -1643,11 +1673,16 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, custkey) so bucket boundaries are engine-independent, then
     mapped to named segments.
 
-    Scale shape: one groupBy on o_custkey; the three NTILEs are global
-    sorts of the 1-row-per-customer aggregate (orders-of-magnitude smaller
-    than the fact table) — at 100 TB they run as range-partitioned sorts
-    with broadcast quartile cut points (the two-phase global-rank
-    discipline, see sort_global_rank_twophase)."""
+    Scale shape: one groupBy on o_custkey, then the 1-row-per-customer
+    aggregate is localCheckpoint-materialized ONCE (entity-sized — orders
+    of magnitude smaller than the fact table) and the three quartile
+    scores chain through the clustered global-order substrate
+    (functions/global_order.py): each is a deterministic-bucket hash
+    exchange + partitioned window + the exact front-loaded-remainder
+    NTILE formula — no single-partition window over the customer set
+    anywhere, and the fact table is scanned exactly once."""
+    from ..functions.global_order import global_row_number, ntile_from_rn
+
     o = T(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("mx"))
     rfm = (
@@ -1660,15 +1695,20 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
+    ).localCheckpoint()
+    ranked = global_row_number(
+        rfm, [("recency_days", "desc"), ("custkey", "asc")], "rn_r", total_col="n_tot"
     )
-    scored = rfm.select(
+    ranked = global_row_number(ranked, [("frequency", "asc"), ("custkey", "asc")], "rn_f")
+    ranked = global_row_number(ranked, [("monetary", "asc"), ("custkey", "asc")], "rn_m")
+    scored = ranked.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("custkey"))).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("custkey"))).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.asc("monetary"), F.asc("custkey"))).alias("m_score"),
+        ntile_from_rn("rn_r", "n_tot", 4).alias("r_score"),
+        ntile_from_rn("rn_f", "n_tot", 4).alias("f_score"),
+        ntile_from_rn("rn_m", "n_tot", 4).alias("m_score"),
     )
     r, f_ = F.col("r_score"), F.col("f_score")
     segment = (

@@ -671,10 +671,13 @@ def stream_late_data_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     max event time over arrival order (event_id) minus a 300 s delay,
     exactly Spark's withWatermark bookkeeping made explicit.
 
-    The running max over global arrival order is the one total-order step:
-    at scale it is two-phase (per-arrival-range maxes, broadcast prefix
-    maxes — the sort_global_rank_twophase discipline); the per-type audit
-    itself is an ordinary mergeable aggregation."""
+    The running max over global arrival order is the one total-order step,
+    computed clustered (functions/global_order.py global_running_max:
+    deterministic arrival-id buckets, ONE hash exchange, per-bucket local
+    running max + a literal prefix-max array — no single-partition window
+    over the events); the per-type audit itself is an ordinary mergeable
+    aggregation."""
+    from ..functions.global_order import global_running_max
     ev = _events(spark, sf_dir).select(
         "event_id",
         "event_type",
@@ -686,8 +689,9 @@ def stream_late_data_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 300
         ).alias("ts_eff"),
     )
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    wm = ev.withColumn("watermark", F.max("ts_eff").over(w) - 300)
+    wm = global_running_max(
+        ev, [("event_id", "asc")], F.col("ts_eff"), "wmax", inclusive=False
+    ).withColumn("watermark", F.col("wmax") - 300)
     late = F.col("ts_eff") < F.col("watermark")
     lateness = F.col("watermark") - F.col("ts_eff")
     return wm.groupBy("event_type").agg(
