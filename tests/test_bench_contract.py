@@ -7,6 +7,7 @@ top-K + tier subtotals inline, full map in the sidecar."""
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -22,7 +23,9 @@ def test_payload_parses_and_has_contract_keys():
     assert parsed["n_queries"] == len(timings)
     # under the cap every query is inlined
     assert set(parsed["queries"]) == set(timings)
-    assert parsed["full"] == "bench_full.json"
+    # absolute so a driver parsing the line from any CWD can resolve it
+    assert os.path.isabs(parsed["full"])
+    assert parsed["full"].endswith("bench_full.json")
     assert "\n" not in line  # ONE line
     assert " " not in line  # compact separators: truncation headroom
 

@@ -459,29 +459,49 @@ def _global_ordered_windows(plan: str) -> list[str]:
 
 
 def test_no_plan_antipatterns_anywhere(spark):
-    """Sweep EVERY registered query's physical plan at sf0.001: no
-    un-broadcast CartesianProduct, no row-at-a-time Python eval
-    (BatchEvalPython — the UDF tier is Arrow-vectorized), and no
-    globally-ordered WindowExec outside the hand-audited tiny-input
-    allowlist (a global window funnels its whole input through ONE task
-    — the thing the clustered global_order substrate exists to avoid).
-    ~60s for all plans; this is the whole anti-pattern audit as one
+    """Sweep EVERY registered query's physical plan at sf0.001, three
+    audits in one pass:
+      1. no un-broadcast CartesianProduct and no row-at-a-time Python
+         eval (BatchEvalPython — the UDF tier is Arrow-vectorized);
+      2. no globally-ordered WindowExec outside the hand-audited
+         tiny-input allowlist (a global window funnels its whole input
+         through ONE task — what the clustered global_order substrate
+         exists to avoid);
+      3. the node-type signature of every plan matches the committed
+         golden (tools/plan_shapes.json) — a silent planner regression
+         (broadcast join degrading to SortMergeJoin, a lost TakeOrdered,
+         a new SinglePartition exchange) fails HERE, not rounds later as
+         a bench anomaly. After reviewing an INTENDED plan change, regen
+         with `python tools/plan_shapes.py --write`.
+    ~2.5 min for all plans; this is the whole plan audit as one
     assertion instead of per-query spot checks."""
+    import json
+    import os
+
     from mdb_to_postgres_spark.registry import QUERIES
 
+    from tools.plan_shapes import GOLDEN, shape_signature
+
+    with open(GOLDEN) as f:
+        golden = json.load(f)["shapes"]
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in QUERIES.items():
         df = fn(spark, sf)
         plan = explain_str(df)
         hits = [k for k in ("CartesianProduct", "BatchEvalPython") if k in plan]
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
         if name not in _GLOBAL_WINDOW_TINY_OK:
-            exec_plan = df._jdf.queryExecution().executedPlan().toString()
             gw = _global_ordered_windows(exec_plan)
             if gw:
                 hits.append(f"global-window: {gw[0]}")
+        sig = shape_signature(exec_plan)
+        if sig != golden.get(name):
+            hits.append(f"shape drift: golden={golden.get(name)} now={sig}")
         if hits:
             flagged[name] = hits
+    missing = sorted(set(golden) - set(QUERIES))
+    assert not missing, f"golden has shapes for unregistered queries: {missing}"
     assert not flagged, flagged
 
 

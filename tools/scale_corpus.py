@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Generate a K-times-larger bench corpus ("sf1" = 10 x sf0.1) by
+replicating the driver's sf0.1 tables with disjoint key ranges — the
+second bench scale point BASELINE.md's scaling curve needs (sf0.1 is
+overhead-bound; a 10x point shows which tiers actually scale with data).
+
+Replication preserves the generator's value distributions and join
+fan-outs exactly: every copy i offsets each table's surrogate keys by
+i * OFFSET[table], and child tables use their PARENT's offset for foreign
+keys, so per-copy referential structure is identical to sf0.1. Offsets
+are powers of 10 (multiples of every modulus the queries use, e.g.
+doc_id % 50 eval split), so modulo-derived distributions are unchanged.
+Copy 0 is byte-identical to sf0.1 (vec_id 0, the fixed ANN query vector,
+exists exactly once). Document text gets a per-copy suffix " v{i}" so
+exact/near-dup rates stay realistic instead of every doc gaining 9
+byte-identical clones; n_chars is recomputed to keep the
+n_chars == length(text) invariant.
+
+Deterministic (pure arithmetic on the driver's seed=42 tables, no RNG).
+Output: /root/repo/.cache/sf1/*.parquet (gitignored, ~10x sf0.1 bytes).
+Usage: python tools/scale_corpus.py [K] (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "sf1"
+)
+
+# Per-table key offsets (power of 10 above the table's max key).
+OFF = {
+    "customer": 10**6,
+    "supplier": 10**4,
+    "part": 10**6,
+    "orders": 10**7,
+    "events": 10**6,  # event_id; user_id uses 10**4 (max 1499)
+    "documents": 10**4,
+    "embeddings": 10**4,
+}
+USER_OFF = 10**4
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE copies AS SELECT unnest(range({k})) AS i")
+
+    def emit(name: str, select: str) -> None:
+        path = os.path.join(OUT, f"{name}.parquet")
+        con.execute(
+            f"COPY ({select}) TO '{path}' (FORMAT parquet, COMPRESSION zstd)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        print(f"{name}: {n} rows -> {path}")
+
+    # Fixed dimensions: not scaled (TPC-H semantics).
+    for t in ("region", "nation"):
+        emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+    emit(
+        "customer",
+        f"""SELECT c_custkey + i*{OFF['customer']} AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM read_parquet('{SRC}/customer.parquet'), copies""",
+    )
+    emit(
+        "supplier",
+        f"""SELECT s_suppkey + i*{OFF['supplier']} AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
+            FROM read_parquet('{SRC}/supplier.parquet'), copies""",
+    )
+    emit(
+        "part",
+        f"""SELECT p_partkey + i*{OFF['part']} AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice
+            FROM read_parquet('{SRC}/part.parquet'), copies""",
+    )
+    emit(
+        "orders",
+        f"""SELECT o_orderkey + i*{OFF['orders']} AS o_orderkey,
+                   o_custkey + i*{OFF['customer']} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet'), copies""",
+    )
+    emit(
+        "lineitem",
+        f"""SELECT l_orderkey + i*{OFF['orders']} AS l_orderkey,
+                   l_partkey + i*{OFF['part']} AS l_partkey,
+                   l_suppkey + i*{OFF['supplier']} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{SRC}/lineitem.parquet'), copies""",
+    )
+    emit(
+        "events",
+        f"""SELECT event_id + i*{OFF['events']} AS event_id, ts,
+                   user_id + i*{USER_OFF} AS user_id, event_type, value, props
+            FROM read_parquet('{SRC}/events.parquet'), copies""",
+    )
+    emit(
+        "documents",
+        f"""SELECT doc_id + i*{OFF['documents']} AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE text || ' v' || CAST(i AS VARCHAR) END AS text,
+                   lang, source,
+                   CAST(length(CASE WHEN i = 0 THEN text
+                        ELSE text || ' v' || CAST(i AS VARCHAR) END) AS BIGINT)
+                     AS n_chars
+            FROM read_parquet('{SRC}/documents.parquet'), copies""",
+    )
+    emit(
+        "embeddings",
+        f"""SELECT vec_id + i*{OFF['embeddings']} AS vec_id, embedding, label
+            FROM read_parquet('{SRC}/embeddings.parquet'), copies""",
+    )
+
+
+if __name__ == "__main__":
+    main()
