@@ -11,10 +11,20 @@ keys, so per-copy referential structure is identical to sf0.1. Offsets
 are powers of 10 (multiples of every modulus the queries use, e.g.
 doc_id % 50 eval split), so modulo-derived distributions are unchanged.
 Copy 0 is byte-identical to sf0.1 (vec_id 0, the fixed ANN query vector,
-exists exactly once). Document text gets a per-copy suffix " v{i}" so
-exact/near-dup rates stay realistic instead of every doc gaining 9
-byte-identical clones; n_chars is recomputed to keep the
-n_chars == length(text) invariant.
+exists exactly once). Document text gets a per-copy CONTENT-WORD suffix
+(word -> word{i}) so near-dup structure stays realistic: suffixing is a
+token bijection within each copy, so within-copy shingle/Jaccard/minhash
+structure is EXACTLY that of sf0.1 (dup rates scale linearly), while
+cross-copy word-trigram sharing collapses to trigrams made only of the
+7 kept lexicon words (~1% of positions). A bare trailing " v{i}" suffix
+is NOT enough — it leaves ~96% of each doc's trigrams shared with its 9
+clones, turning every doc into a near-dup clique and growing the
+dedup-tier candidate-pair stream ~100x (quadratic) instead of ~10x;
+measured as 13-800 s outliers across the shingle-index queries on the
+first sf1 bench attempt. Lexicon words referenced by query constants
+(_LANG_MARKERS en, _STOPWORDS, _BM25_TERMS: the, a, fast, slow, hash,
+join, filter) keep their per-copy match rates by staying unsuffixed.
+n_chars is recomputed to keep the n_chars == length(text) invariant.
 
 Deterministic (pure arithmetic on the driver's seed=42 tables, no RNG).
 Output: /root/repo/.cache/sf1/*.parquet (gitignored, ~10x sf0.1 bytes).
@@ -104,16 +114,26 @@ def main() -> None:
                    user_id + i*{USER_OFF} AS user_id, event_type, value, props
             FROM read_parquet('{SRC}/events.parquet'), copies""",
     )
+    # Words kept verbatim across copies: every word a query-side lexicon
+    # constant matches against (see module docstring). Everything else is
+    # suffixed with the copy index, decorrelating cross-copy shingles.
+    keep = "('the', 'a', 'fast', 'slow', 'hash', 'join', 'filter', '')"
     emit(
         "documents",
-        f"""SELECT doc_id + i*{OFF['documents']} AS doc_id,
-                   CASE WHEN i = 0 THEN text
-                        ELSE text || ' v' || CAST(i AS VARCHAR) END AS text,
-                   lang, source,
-                   CAST(length(CASE WHEN i = 0 THEN text
-                        ELSE text || ' v' || CAST(i AS VARCHAR) END) AS BIGINT)
-                     AS n_chars
-            FROM read_parquet('{SRC}/documents.parquet'), copies""",
+        f"""SELECT doc_id + i*{OFF['documents']} AS doc_id, text,
+                   lang, source, CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id, i, lang, source,
+                     CASE WHEN i = 0 THEN text
+                          ELSE array_to_string(
+                                 list_transform(
+                                   string_split(text, ' '),
+                                   w -> CASE WHEN w IN {keep} THEN w
+                                             ELSE w || CAST(i AS VARCHAR) END),
+                                 ' ')
+                     END AS text
+              FROM read_parquet('{SRC}/documents.parquet'), copies
+            )""",
     )
     emit(
         "embeddings",
