@@ -476,9 +476,19 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GEO_M = 1000000  # synthetic planar coordinate space: [0, 1e6)^2
-_GEO_CELL = 62500  # grid cell width -> 16x16 cells, 3x3 neighborhood probe
-# (sized so a neighborhood holds ~dozens of points at bench sf; production
-# picks cell width from point density: ~O(1) expected points per cell)
+# Grid cell width is DENSITY-SCALED: cells_per_axis = floor(sqrt(n/4)) puts
+# ~4 suppliers in a cell at every corpus size, so a 3x3 neighborhood holds
+# ~36 candidates whether the table has 100 suppliers or 100 billion — a
+# FIXED grid would grow candidates quadratically with scale (measured 11.5x
+# wall at 10x data before this). Integer arithmetic on a count, identical
+# in both engines; sqrt/floor are exact here (IEEE double, n < 2^52).
+_GEO_CELL_SQL = f"CAST(ceil({_GEO_M} / greatest(1.0, floor(sqrt(count(*) / 4.0)))) AS BIGINT)"
+
+
+def _geo_cell(n_supp: int) -> int:
+    import math
+
+    return int(math.ceil(_GEO_M / max(1.0, math.floor(math.sqrt(n_supp / 4.0)))))
 
 
 def _geo_coord_sql(tag: str, key: str) -> str:
@@ -488,7 +498,8 @@ def _geo_coord_sql(tag: str, key: str) -> str:
 @query(
     "join_geo_grid_nearest",
     oracle=f"""
-    WITH cust AS (
+    WITH params AS (SELECT {_GEO_CELL_SQL} AS cell FROM supplier),
+    cust AS (
       SELECT c_custkey,
              {_geo_coord_sql('lat', 'c_custkey')} AS cx,
              {_geo_coord_sql('lon', 'c_custkey')} AS cy
@@ -503,15 +514,15 @@ def _geo_coord_sql(tag: str, key: str) -> str:
     offs AS (SELECT UNNEST(range(-1, 2)) AS dx),
     supp9 AS (
       SELECT s.s_suppkey, s.sx, s.sy,
-             s.sx // {_GEO_CELL} + ox.dx AS gx,
-             s.sy // {_GEO_CELL} + oy.dx AS gy
-      FROM supp s CROSS JOIN offs ox CROSS JOIN offs oy
+             s.sx // p.cell + ox.dx AS gx,
+             s.sy // p.cell + oy.dx AS gy
+      FROM supp s CROSS JOIN params p CROSS JOIN offs ox CROSS JOIN offs oy
     ),
     cand AS (
       SELECT c.c_custkey, s.s_suppkey,
              (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) AS d2
-      FROM cust c
-      JOIN supp9 s ON c.cx // {_GEO_CELL} = s.gx AND c.cy // {_GEO_CELL} = s.gy
+      FROM cust c CROSS JOIN params p
+      JOIN supp9 s ON c.cx // p.cell = s.gx AND c.cy // p.cell = s.gy
     )
     SELECT c_custkey,
            CAST(MIN(d2 * 1048576 + s_suppkey) % 1048576 AS BIGINT) AS s_suppkey,
@@ -538,10 +549,14 @@ def join_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce before any shuffle (a ranked window here would sort the full
     candidate set: measured 3.9 s -> this shape at sf0.1). A customer
     whose neighborhood holds no supplier drops out (guarantee radius =
-    one cell width; production sizes cells off point density so a
-    neighborhood holds O(1) points)."""
+    one cell width). Cell width is derived from the supplier count
+    (cells_per_axis = floor(sqrt(n/4)), ~4 points per cell at ANY scale):
+    the one-row count probe is the same O(1) driver pattern as the JDBC
+    partition-bounds probe, and it is what keeps the per-neighborhood
+    candidate set O(1) — a fixed grid measured 11.5x wall at 10x data."""
     c = T(spark, sf_dir, "customer")
     s = T(spark, sf_dir, "supplier")
+    cell = _geo_cell(s.count())
 
     def coord(tag: str, key: str) -> F.Column:
         return (
@@ -565,16 +580,16 @@ def join_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "sx",
             "sy",
-            (F.floor(F.col("sx") / _GEO_CELL) + F.col("dx")).alias("gx"),
-            (F.floor(F.col("sy") / _GEO_CELL) + F.col("dy")).alias("gy"),
+            (F.floor(F.col("sx") / cell) + F.col("dx")).alias("gx"),
+            (F.floor(F.col("sy") / cell) + F.col("dy")).alias("gy"),
         )
     )
     d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
         F.col("cy") - F.col("sy")
     ) * (F.col("cy") - F.col("sy"))
     cand = (
-        cust.withColumn("gx", F.floor(F.col("cx") / _GEO_CELL))
-        .withColumn("gy", F.floor(F.col("cy") / _GEO_CELL))
+        cust.withColumn("gx", F.floor(F.col("cx") / cell))
+        .withColumn("gy", F.floor(F.col("cy") / cell))
         .join(F.broadcast(supp9), ["gx", "gy"])
         .withColumn("d2", d2.cast("bigint"))
     )

@@ -333,15 +333,25 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment runs clustered (functions/global_order.py: deterministic
     morton-quantile buckets + one hash exchange + the exact
     front-loaded-remainder NTILE formula) — no single-partition window
-    over the fact table."""
+    over the fact table. The thin (morton, keys) projection is
+    localCheckpoint-materialized FIRST: the substrate makes three passes
+    over its input (quantile probe, per-bucket counts, final plan), and
+    without materialization each pass re-runs the 64-term bit-interleave
+    over the raw fact table (measured 6.5 s -> 2.5 s at sf0.1, and 3x the
+    fact-table scan cost at 100 TB, where the thin projection is a small
+    fraction of the table's width)."""
     from ..functions.global_order import global_row_number, ntile_from_rn
 
-    z = T(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        "l_suppkey",
-        F.expr(_morton_sql("l_partkey", "l_suppkey", False)).alias("morton"),
-        "l_orderkey",
-        "l_linenumber",
+    z = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(_morton_sql("l_partkey", "l_suppkey", False)).alias("morton"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .localCheckpoint()
     )
     ranked = global_row_number(
         z,

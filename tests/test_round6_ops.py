@@ -139,7 +139,10 @@ def test_span_dedup_makes_progress(spark):
 def test_geo_grid_nn_matches_bruteforce_within_radius(spark):
     out = QUERIES["join_geo_grid_nearest"](spark, SMOKE_SF).toPandas()
     assert len(out) > 0
-    from mdb_to_postgres_spark.operators.joins import _GEO_CELL, _GEO_M
+    from mdb_to_postgres_spark.operators.joins import _GEO_M, _geo_cell
+
+    n_supp = spark.read.parquet(f"{SMOKE_SF}/supplier.parquet").count()
+    _GEO_CELL = _geo_cell(n_supp)
 
     assert ((out.d2 >= 0) & (out.d2 < 2 * _GEO_M * _GEO_M)).all()
     # brute-force check at smoke scale: whenever the true NN lies in the
