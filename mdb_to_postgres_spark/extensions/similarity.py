@@ -1336,8 +1336,15 @@ def x_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
-    c = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+    # The corpus is ONE parquet split at bench SFs, and the scoring
+    # projection below is compute-bound (two unrolled 64- and {dim}-term
+    # dot products per row): repartition first so it widens to every core
+    # — the same single-split trap documented for chunk_cdc/pca in
+    # BASELINE.md. At cluster scale this is a no-op-sized rebalance.
+    c = _parallelize(
+        e.filter(F.col("vec_id") >= 20).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+        )
     )
 
     def top(n: int) -> DataFrame:

@@ -63,40 +63,60 @@ def main() -> None:
     con.execute(f"CREATE TABLE copies AS SELECT unnest(range({k})) AS i")
 
     def emit(name: str, select: str) -> None:
+        """Write {name}.parquet as a DIRECTORY of one file per copy —
+        Spark reads it transparently, and a 10x corpus with 10x files is
+        the representative layout: a single giant file would pin every
+        compute-bound projection to one core locally (maxPartitionBytes
+        never splits these ~15 MB tables) and misstate how a real
+        replicated corpus scans."""
         path = os.path.join(OUT, f"{name}.parquet")
-        con.execute(
-            f"COPY ({select}) TO '{path}' (FORMAT parquet, COMPRESSION zstd)"
-        )
+        if os.path.isfile(path):  # leftover single-file layout
+            os.remove(path)
+        os.makedirs(path, exist_ok=True)
+        for i in range(k):
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (__copy) FROM ({select}) WHERE __copy = {i}) TO "
+                f"'{path}/copy{i:02d}.parquet' (FORMAT parquet, COMPRESSION zstd)"
+            )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}/*.parquet')"
+        ).fetchone()[0]
+        print(f"{name}: {n} rows -> {path}")
+
+    def emit_single(name: str, select: str) -> None:
+        path = os.path.join(OUT, f"{name}.parquet")
+        con.execute(f"COPY ({select}) TO '{path}' (FORMAT parquet, COMPRESSION zstd)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         print(f"{name}: {n} rows -> {path}")
 
     # Fixed dimensions: not scaled (TPC-H semantics).
     for t in ("region", "nation"):
-        emit(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+        emit_single(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
 
     emit(
         "customer",
         f"""SELECT c_custkey + i*{OFF['customer']} AS c_custkey, c_name,
-                   c_nationkey, c_acctbal, c_mktsegment
+                   c_nationkey, c_acctbal, c_mktsegment, i AS __copy
             FROM read_parquet('{SRC}/customer.parquet'), copies""",
     )
     emit(
         "supplier",
         f"""SELECT s_suppkey + i*{OFF['supplier']} AS s_suppkey, s_name,
-                   s_nationkey, s_acctbal
+                   s_nationkey, s_acctbal, i AS __copy
             FROM read_parquet('{SRC}/supplier.parquet'), copies""",
     )
     emit(
         "part",
         f"""SELECT p_partkey + i*{OFF['part']} AS p_partkey, p_name, p_brand,
-                   p_type, p_size, p_retailprice
+                   p_type, p_size, p_retailprice, i AS __copy
             FROM read_parquet('{SRC}/part.parquet'), copies""",
     )
     emit(
         "orders",
         f"""SELECT o_orderkey + i*{OFF['orders']} AS o_orderkey,
                    o_custkey + i*{OFF['customer']} AS o_custkey,
-                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+                   i AS __copy
             FROM read_parquet('{SRC}/orders.parquet'), copies""",
     )
     emit(
@@ -105,13 +125,13 @@ def main() -> None:
                    l_partkey + i*{OFF['part']} AS l_partkey,
                    l_suppkey + i*{OFF['supplier']} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
-                   l_tax, l_returnflag, l_linestatus, l_shipdate
+                   l_tax, l_returnflag, l_linestatus, l_shipdate, i AS __copy
             FROM read_parquet('{SRC}/lineitem.parquet'), copies""",
     )
     emit(
         "events",
         f"""SELECT event_id + i*{OFF['events']} AS event_id, ts,
-                   user_id + i*{USER_OFF} AS user_id, event_type, value, props
+                   user_id + i*{USER_OFF} AS user_id, event_type, value, props, i AS __copy
             FROM read_parquet('{SRC}/events.parquet'), copies""",
     )
     # Words kept verbatim across copies: every word a query-side lexicon
@@ -121,7 +141,8 @@ def main() -> None:
     emit(
         "documents",
         f"""SELECT doc_id + i*{OFF['documents']} AS doc_id, text,
-                   lang, source, CAST(length(text) AS BIGINT) AS n_chars
+                   lang, source, CAST(length(text) AS BIGINT) AS n_chars,
+                   i AS __copy
             FROM (
               SELECT doc_id, i, lang, source,
                      CASE WHEN i = 0 THEN text
@@ -137,7 +158,8 @@ def main() -> None:
     )
     emit(
         "embeddings",
-        f"""SELECT vec_id + i*{OFF['embeddings']} AS vec_id, embedding, label
+        f"""SELECT vec_id + i*{OFF['embeddings']} AS vec_id, embedding, label,
+                   i AS __copy
             FROM read_parquet('{SRC}/embeddings.parquet'), copies""",
     )
 
