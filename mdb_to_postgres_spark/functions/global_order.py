@@ -275,6 +275,72 @@ def global_row_number(
     )
 
 
+def global_row_number_specs(
+    df: DataFrame,
+    specs: list[tuple[list[tuple[str, str]], str]],
+    *,
+    total_col: str | None = None,
+    num_buckets: int = _DEFAULT_BUCKETS,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Append one global ROW_NUMBER column per (order_by, out) spec —
+    INDEPENDENT total orders over the same rows (the RFM shape: rank the
+    same entity table by recency, frequency and monetary separately).
+
+    Independent orders cannot share a window exchange (each needs its own
+    clustering), but they CAN share the two build-time actions that
+    `global_row_number` pays per call: this computes every spec's quantile
+    boundaries in ONE multi-column approxQuantile pass and every spec's
+    per-bucket counts in ONE aggregate job (num_specs x num_buckets
+    conditional sums, map-side partial), then chains the per-spec
+    clustered windows. For S specs that is 2 + S data passes instead of
+    3S: at 100 TB, S-1 fewer full scans and S-1 fewer count jobs; locally
+    it collapses the fixed per-action latency.
+
+    `total_col` (if set) carries COUNT(*) — identical for every spec."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    keyed = df.select(
+        *[F.col(ob[0][0]).cast("double").alias(f"__go_k{i}") for i, (ob, _) in enumerate(specs)]
+    )
+    all_bounds = keyed.stat.approxQuantile(
+        [f"__go_k{i}" for i in range(len(specs))], probs, rel_err
+    )
+    buckets = [
+        _bucket_expr(F.col(ob[0][0]), ob[0][1] == "desc", all_bounds[i])
+        for i, (ob, _) in enumerate(specs)
+    ]
+    counts_row = df.agg(
+        *[
+            F.array(
+                *[F.sum((b == bb).cast("long")) for bb in range(num_buckets)]
+            ).alias(f"c{i}")
+            for i, b in enumerate(buckets)
+        ]
+    ).collect()[0]
+    res, grand = df, 0
+    for i, (order_by, out) in enumerate(specs):
+        per_bucket = [v or 0 for v in counts_row[f"c{i}"]]
+        offs, run = [], 0
+        for c in per_bucket:
+            offs.append(run)
+            run += c
+        grand = run
+        w = (
+            Window.partitionBy(_B)
+            .orderBy(*_sort_cols(order_by))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        off_at = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col(_B) + 1)
+        res = (
+            res.withColumn(_B, buckets[i])
+            .withColumn(out, F.sum(F.lit(1)).over(w) + off_at)
+            .drop(_B)
+        )
+    if total_col is not None:
+        res = res.withColumn(total_col, F.lit(grand))
+    return res
+
+
 def ntile_from_rn(rn: str, n: str, k: int) -> Column:
     """SQL-standard NTILE(k) from a 1-based global row number column `rn`
     and a total-count column `n` (both BIGINT column NAMES), as exact

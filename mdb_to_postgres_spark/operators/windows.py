@@ -1676,12 +1676,14 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one groupBy on o_custkey, then the 1-row-per-customer
     aggregate is localCheckpoint-materialized ONCE (entity-sized — orders
     of magnitude smaller than the fact table) and the three quartile
-    scores chain through the clustered global-order substrate
-    (functions/global_order.py): each is a deterministic-bucket hash
-    exchange + partitioned window + the exact front-loaded-remainder
-    NTILE formula — no single-partition window over the customer set
-    anywhere, and the fact table is scanned exactly once."""
-    from ..functions.global_order import global_row_number, ntile_from_rn
+    scores chain through the clustered global-order substrate's
+    shared-build multi-spec form (global_row_number_specs): ONE
+    multi-column quantile pass + ONE per-bucket counts job feed all three
+    deterministic-bucket hash-exchange windows + the exact
+    front-loaded-remainder NTILE formula — no single-partition window
+    over the customer set anywhere, the fact table scanned once, and the
+    customer table scanned 2 + 3 times instead of 3 x 3."""
+    from ..functions.global_order import global_row_number_specs, ntile_from_rn
 
     o = T(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("mx"))
@@ -1696,11 +1698,15 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
     ).localCheckpoint()
-    ranked = global_row_number(
-        rfm, [("recency_days", "desc"), ("custkey", "asc")], "rn_r", total_col="n_tot"
+    ranked = global_row_number_specs(
+        rfm,
+        [
+            ([("recency_days", "desc"), ("custkey", "asc")], "rn_r"),
+            ([("frequency", "asc"), ("custkey", "asc")], "rn_f"),
+            ([("monetary", "asc"), ("custkey", "asc")], "rn_m"),
+        ],
+        total_col="n_tot",
     )
-    ranked = global_row_number(ranked, [("frequency", "asc"), ("custkey", "asc")], "rn_f")
-    ranked = global_row_number(ranked, [("monetary", "asc"), ("custkey", "asc")], "rn_m")
     scored = ranked.select(
         "custkey",
         "recency_days",

@@ -142,9 +142,17 @@ def events_generation() -> str:
         kinds = set()
         for root in sorted(roots):
             path = os.path.join(root, "events.parquet")
-            if os.path.exists(path):
-                t = pq.read_schema(path).field("ts").type
-                kinds.add("bigint" if pat.is_integer(t) else "timestamp")
+            if not os.path.exists(path):
+                continue
+            if os.path.isdir(path):
+                # multi-file table (e.g. the per-copy sf1 replica): all
+                # parts share one writer schema — footer-probe the first
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                if not parts:
+                    continue
+                path = parts[0]
+            t = pq.read_schema(path).field("ts").type
+            kinds.add("bigint" if pat.is_integer(t) else "timestamp")
         if len(kinds) > 1:
             raise RuntimeError(
                 f"events.ts generations disagree across sf dirs ({kinds}); "

@@ -120,3 +120,63 @@ def test_single_hash_exchange_no_join(spark):
     assert "rangepartitioning" not in low, plan
     assert "singlepartition" not in low, plan
     assert "join" not in low, plan
+
+
+def test_global_row_number_specs_matches_three_windows(spark):
+    # The shared-build multi-spec form (the RFM shape): three INDEPENDENT
+    # total orders over one entity table must each reproduce the engine's
+    # single-partition row_number, while paying the quantile pass and the
+    # per-bucket counts job ONCE for all three.
+    from mdb_to_postgres_spark.functions.global_order import (
+        global_row_number_specs,
+    )
+
+    c = T(spark, ORACLE_SF, "customer").select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 7).alias("grp")
+    )
+    specs = [
+        ([("c_acctbal", "desc"), ("c_custkey", "asc")], "rn_a"),
+        ([("grp", "asc"), ("c_custkey", "asc")], "rn_b"),
+        ([("c_custkey", "asc")], "rn_c"),
+    ]
+    got = global_row_number_specs(c, specs, total_col="n").toPandas()
+    ref = c.select(
+        "c_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+        .alias("rn_a"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("grp"), F.asc("c_custkey")))
+        .alias("rn_b"),
+        F.row_number().over(Window.orderBy(F.asc("c_custkey"))).alias("rn_c"),
+    ).toPandas()
+    assert got.n.nunique() == 1 and got.n.iloc[0] == len(ref)
+    merged = got.merge(ref, on="c_custkey", suffixes=("", "_ref"))
+    assert len(merged) == len(ref)
+    for col in ("rn_a", "rn_b", "rn_c"):
+        assert (merged[col] == merged[f"{col}_ref"]).all(), col
+
+
+def test_global_row_number_specs_plan_contract(spark):
+    # S specs → exactly S hash exchanges on the bucket column in the final
+    # plan (one per independent clustering), still no range exchange, no
+    # join, no SinglePartition over the data stream.
+    from mdb_to_postgres_spark.functions.global_order import (
+        global_row_number_specs,
+    )
+
+    c = T(spark, ORACLE_SF, "customer").select("c_custkey", "c_acctbal")
+    df = global_row_number_specs(
+        c,
+        [
+            ([("c_acctbal", "asc"), ("c_custkey", "asc")], "rn_a"),
+            ([("c_custkey", "desc")], "rn_b"),
+        ],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert low.count("exchange") == 2, plan
+    assert low.count("hashpartitioning(__go_bucket") == 2, plan
+    assert "rangepartitioning" not in low, plan
+    assert "singlepartition" not in low, plan
+    assert "join" not in low, plan
