@@ -123,24 +123,227 @@ _JACCARD_PAIR_CACHE: dict = {}
 
 @query("x_dedup_near_jaccard", oracle=_JACCARD_ORACLE)
 def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup (#60, deterministic variant): inverted
-    shingle index self-joined, so only docs sharing a shingle pair up.
-    Integer intersection / sizes -> one double divide: bit-deterministic.
+    """Exact n-gram Jaccard near-dup (#60, deterministic variant): the
+    complete (doc_a, doc_b, jaccard >= 0.35) pair list. Integer
+    intersection / sizes -> one double divide: bit-deterministic.
 
-    The verified (doc_a, doc_b, jaccard) pair list is the most-shared
-    substrate in the repo — the component builder, the cluster QA report
-    and the whole graph tier all consume it — so it is computed once per
-    (session, sf), exactly like the pair table a production dedup run
-    materializes before clustering."""
+    The verified pair list is the most-shared substrate in the repo — the
+    component builder, the cluster QA report and the whole graph tier all
+    consume it — so it is computed once per (session, sf), exactly like
+    the pair table a production dedup run materializes before clustering,
+    and it is computed by the SCALE plan (_ppjoin_pairs: PPJoin-complete
+    candidates + hot/cold split verify — no term quadratic in boilerplate
+    shingle df), which is provably and test-asserted identical to the
+    naive inverted-index self-join this query's DuckDB oracle runs."""
     from ..sources.tables import session_cache_get
 
     def build() -> DataFrame:
-        return _near_jaccard_pairs(spark, sf_dir).localCheckpoint()
+        return _ppjoin_pairs(spark, sf_dir).localCheckpoint()
 
     return session_cache_get(_JACCARD_PAIR_CACHE, spark, sf_dir, build)
 
 
+# Document-frequency cap splitting the exact verify: shingles with df
+# <= _HOT_DF flow through the inverted-index match stream (each such
+# shingle emits at most _HOT_DF^2 pairs — the stream stays LINEAR in
+# postings), shingles above it are carried as tiny per-doc arrays and
+# intersected per CANDIDATE pair instead of per posting pair. Measured on
+# the 100x replica: 343 boilerplate shingles (all-kept-word trigrams,
+# df 1500-2000) were 55% of a 618M-row match stream and grew QUADRATICALLY
+# with corpus size (105x for 10x docs) while the cold stream grew 9x —
+# the real-world shape of license headers / navigation chrome in a web
+# corpus. The cap trades one bounded broadcast (the hot vocab is tiny by
+# definition: at most postings/_HOT_DF entries, 343 here) for removing
+# the only quadratic term in the exact pipeline.
+_HOT_DF = 64
+
+
+def _ppjoin_pairs(
+    spark: SparkSession, sf_dir: str, hot_df: int = _HOT_DF
+) -> DataFrame:
+    """Exact thresholded Jaccard pair list (t = 0.35) via the PPJoin
+    bound with a hot/cold split verify — output PROVABLY identical to the
+    naive full-index self-join. Four claims carry the proof (and
+    tests/test_dedup_pairs.py asserts the equality end to end, including
+    a degenerate all-hot cap):
+
+    1. COMPLETENESS (channel 1): any pair with J >= t shares a shingle in
+       both docs' df-ascending prefixes (pigeonhole on the rarest
+       shingles), so the prefix self-join candidates cover every
+       qualifying pair that shares at least one COLD (df <= hot_df)
+       shingle.
+    2. EXACTNESS: cold and hot shingles partition the vocabulary, so
+       cold match count + hot array intersect is the true intersection
+       for every channel-1 survivor.
+    3. FEASIBILITY FILTER: isect <= cold_isect + min(n_hot_a, n_hot_b)
+       and J >= t forces isect >= t/(1+t) * (sz_a + sz_b) (= 7/27 at
+       t = 0.35), so any pair failing 27 * upper >= 7 * (sz_a + sz_b) is
+       provably sub-threshold and drops BEFORE the per-pair array joins —
+       the surviving set is output-sized, not sharing-pairs-sized (26k
+       survivors out of 52M sharing pairs at the 100x replica).
+    4. HOT-ONLY pairs (channel 2): a qualifying pair sharing NO cold
+       shingle has isect <= min(n_hot_a, n_hot_b) and therefore BOTH docs
+       hot-heavy (n_hot >= t/(1+t) * sz). Channel 2 enumerates
+       hot-sharing pairs among hot-heavy docs only (EMPTY on any corpus
+       whose boilerplate is a small fraction of each doc — probed with a
+       one-row count on the checkpointed stats table and skipped
+       entirely), anti-joins the channel-1 survivors, and scores the rest
+       by hot intersect alone: exact for genuinely hot-only pairs, and a
+       provably sub-threshold undercount for anything else (an undercount
+       only lowers jaccard, so no false positive can cross the filter).
+
+    Cost model vs the naive index (numbers from the 100x replica, 500k
+    docs): the match stream drops every hot shingle — the only
+    super-linear term (343 boilerplate trigrams were 55% of the 618M-row
+    stream, growing ~quadratically with corpus size while the cold stream
+    grew linearly); the candidate stream stays semi-join-only (never
+    globally deduplicated — a global dedup measured +17 s); ONE broadcast
+    of the (shingle, df) table feeds the prefix ranking and the cold/hot
+    split off a shared subtree; per-doc stats (set size + the bounded hot
+    array) come from ONE extra pass over the postings, checkpointed thin
+    (one row per doc) so the feasibility broadcast, the survivor array
+    joins and the heavy probe all reuse it. At billion-doc scale the two
+    small broadcasts (vocab df, doc stats) outgrow memory — swap them for
+    shuffle joins; every other shape is already shuffle-based and linear.
+    """
+    sh = doc_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    post = sh.join(F.broadcast(dfreq), "shingle")
+    ranked = post.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    ).withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(35 * sz + 99) div 100") + 1
+    ).select("doc_id", "shingle", "sz")
+    # Candidate pairs: prefix-shingle self-join + AllPairs length filter
+    # (J(a,b) >= t forces t*|a| <= |b| and symmetrically).
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (100 * F.col("b.sz") >= 35 * F.col("a.sz"))
+            & (100 * F.col("a.sz") >= 35 * F.col("b.sz"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    # Per-doc stats in ONE pass, one thin row per doc, checkpointed:
+    # collect_set skips the NULL the when() emits for cold shingles, so
+    # hot_sh is [] (never NULL) for boilerplate-free docs.
+    doc_stats = (
+        post.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("df") > hot_df, F.col("shingle")))
+            ).alias("hot_sh"),
+        )
+        .localCheckpoint()
+    )
+    smeta = doc_stats.select("doc_id", "sz", F.size("hot_sh").alias("n_hot"))
+    # Channel 1: pairs sharing at least one cold shingle. The match
+    # stream runs over cold postings only — each cold shingle emits at
+    # most hot_df^2 pairs, so the stream is LINEAR in postings.
+    cold = post.filter(F.col("df") <= hot_df)
+    ca = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cold_pairs = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("cold_isect"))
+    )
+    upper = F.col("cold_isect") + F.least("n_hot_a", "n_hot_b")
+    survivors = (
+        cold_pairs.join(
+            F.broadcast(
+                smeta.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sz").alias("sz_a"),
+                    F.col("n_hot").alias("n_hot_a"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                smeta.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sz").alias("sz_b"),
+                    F.col("n_hot").alias("n_hot_b"),
+                )
+            ),
+            "doc_b",
+        )
+        .filter(27 * upper >= 7 * (F.col("sz_a") + F.col("sz_b")))
+        .localCheckpoint()
+    )
+    hot_a = doc_stats.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a"))
+    hot_b = doc_stats.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b"))
+    # hot_sh is never NULL (see doc_stats), so size(array_intersect) is
+    # always >= 0 here — no sizeOfNull=-1 hazard on this inner join.
+    ch1 = (
+        survivors.join(hot_a, "doc_a")
+        .join(hot_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("cold_isect") + F.size(F.array_intersect("hot_a", "hot_b"))).alias(
+                "isect"
+            ),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    # Channel 2: hot-only pairs, possible only between hot-heavy docs
+    # (27 * n_hot >= 7 * sz — docstring claim 4). One cheap count on the
+    # checkpointed stats table; empty on every normal corpus.
+    heavy = doc_stats.filter(27 * F.size("hot_sh") >= 7 * F.col("sz")).select(
+        "doc_id", "hot_sh"
+    )
+    both = ch1
+    if heavy.limit(1).count() > 0:
+        hx = heavy.select("doc_id", F.explode("hot_sh").alias("shingle"))
+        ch2 = (
+            hx.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(hx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .join(survivors.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+            .join(heavy.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a")), "doc_a")
+            .join(heavy.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b")), "doc_b")
+            .join(
+                F.broadcast(smeta.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(smeta.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("hot_a", "hot_b")).cast("long").alias("isect"),
+                "sz_a",
+                "sz_b",
+            )
+        )
+        both = ch1.unionByName(ch2)
+    jac = both.withColumn(
+        "jaccard",
+        F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+    ).filter(F.col("jaccard") >= 0.35)
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
 def _near_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive full-inverted-index form: every sharing pair enumerated,
+    grouped, thresholded. Quadratic in hot-shingle df — kept as the
+    equivalence oracle for _ppjoin_pairs (and mirrored by every DuckDB
+    oracle over the pair list), NOT on the shared substrate path."""
     sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1036,75 +1239,24 @@ def x_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The prefix bound matters exactly where the full index degenerates: a
     boilerplate shingle shared by every doc generates O(n^2) candidate
-    pairs in x_dedup_near_jaccard but lands in NO prefix (highest df =
-    last rank), so the join never sees it. Shapes: thin (shingle, df)
-    table joined back (broadcast — shingle vocab << corpus), one per-doc
-    frequency-rank window, candidate join on prefix shingles only, exact
-    verify on candidates. Prefix filtering presumes a heavy-tailed
-    vocabulary: on TOKEN sets over this corpus's ~30-word vocab every
-    'rare' token still hits half the docs and candidates go quadratic
-    (measured 30 s before this shingle formulation: blocking keys must
-    be selective, whatever the algorithm)."""
-    sh = doc_shingles(spark, sf_dir)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(F.broadcast(dfreq), "shingle")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
-        )
-        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
-    )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.expr("(35 * sz + 99) div 100") + 1
-    ).select("doc_id", "shingle", "sz")
-    # AllPairs' second pruning rule, the LENGTH filter: J(a,b) >= t forces
-    # t*|a| <= |b| (and symmetrically), so size-incompatible pairs drop at
-    # candidate generation, before the verify join.
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (100 * F.col("b.sz") >= 35 * F.col("a.sz"))
-            & (100 * F.col("a.sz") >= 35 * F.col("b.sz"))
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    # No .distinct() on the candidates: they feed ONLY the left-semi join
-    # below, whose build side dedups per partition by construction — a
-    # global candidate-dedup Exchange+HashAggregate is pure waste (measured
-    # 2.2-2.7 s -> 2.0 s at sf0.1; at 100 TB it would shuffle the full
-    # multi-prefix candidate stream once for nothing).
-    # Verification shape matters as much as candidate generation: with a
-    # LARGE candidate set (hundreds of thousands of pairs on this
-    # high-sharing corpus), _verify_jaccard's join-back (cand x full
-    # posting lists) explodes to |cand| * avg-shingles rows (~50M at
-    # sf0.1, measured 6 s). Instead intersect via the match stream —
-    # the same inverted-index self-join near_jaccard uses — SEMI-joined
-    # to the candidate set, which caps the stream at sharing-pairs
-    # (~4M) regardless of candidate count. _verify_jaccard stays the
-    # right shape for MinHash/banded LSH where candidates are FEW.
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("isect"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
-        )
-        .filter(F.col("jaccard") >= 0.35)
-    )
-    return jac.select("doc_a", "doc_b", "jaccard")
+    pairs in a naive inverted index but lands in NO prefix (highest df =
+    last rank), so the candidate join never sees it. The VERIFY stage
+    needs the same protection — counting intersections through the full
+    match stream re-imports the df^2 term the prefixes avoided (measured
+    on the 100x replica: 343 boilerplate trigrams were 55% of a 618M-row
+    match stream, growing quadratically while everything else grew
+    linearly) — so it splits on _HOT_DF: cold shingles count through the
+    candidate-semi-joined match stream, hot shingles ride as bounded
+    per-doc arrays intersected per candidate pair. The split partitions
+    the vocabulary, so cold count + hot count is the exact intersection.
+    Prefix filtering presumes a heavy-tailed vocabulary: on TOKEN sets
+    over this corpus's ~30-word vocab every 'rare' token still hits half
+    the docs and candidates go quadratic (measured 30 s before this
+    shingle formulation: blocking keys must be selective, whatever the
+    algorithm). Shares _ppjoin_pairs with x_dedup_near_jaccard — the two
+    queries are one engine with two oracles (naive DuckDB self-join both
+    times, which is the point: identical output, different cost model)."""
+    return _ppjoin_pairs(spark, sf_dir)
 
 
 @query(

@@ -28,7 +28,10 @@ n_chars is recomputed to keep the n_chars == length(text) invariant.
 
 Deterministic (pure arithmetic on the driver's seed=42 tables, no RNG).
 Output: /root/repo/.cache/sf1/*.parquet (gitignored, ~10x sf0.1 bytes).
-Usage: python tools/scale_corpus.py [K] (default 10)
+Usage: python tools/scale_corpus.py [K] [--out DIR] [--tables a,b,c]
+(default K=10, out .cache/sf1, all tables). --tables restricts emission
+to the named tables (e.g. documents,embeddings for a 100x dedup-tier
+smoke — key offsets are per-copy multiples, collision-free up to K~100).
 """
 
 from __future__ import annotations
@@ -57,7 +60,18 @@ USER_OFF = 10**4
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    global OUT
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    if "--out" in args:
+        i = args.index("--out")
+        OUT = os.path.abspath(args[i + 1])
+        del args[i : i + 2]
+    k = int(args[0]) if args else 10
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE copies AS SELECT unnest(range({k})) AS i")
@@ -69,6 +83,8 @@ def main() -> None:
         compute-bound projection to one core locally (maxPartitionBytes
         never splits these ~15 MB tables) and misstate how a real
         replicated corpus scans."""
+        if only is not None and name not in only:
+            return
         path = os.path.join(OUT, f"{name}.parquet")
         if os.path.isfile(path):  # leftover single-file layout
             os.remove(path)
@@ -84,6 +100,8 @@ def main() -> None:
         print(f"{name}: {n} rows -> {path}")
 
     def emit_single(name: str, select: str) -> None:
+        if only is not None and name not in only:
+            return
         path = os.path.join(OUT, f"{name}.parquet")
         con.execute(f"COPY ({select}) TO '{path}' (FORMAT parquet, COMPRESSION zstd)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
