@@ -206,7 +206,13 @@ def _ppjoin_pairs(
     small broadcasts (vocab df, doc stats) outgrow memory — swap them for
     shuffle joins; every other shape is already shuffle-based and linear.
     """
-    sh = doc_shingles(spark, sf_dir)
+    return _ppjoin_from(doc_shingles(spark, sf_dir), hot_df)
+
+
+def _ppjoin_from(sh: DataFrame, hot_df: int = _HOT_DF) -> DataFrame:
+    """DataFrame-level core of _ppjoin_pairs: `sh` is any distinct
+    (doc_id, shingle) table. Split out so the hypothesis property suite
+    can drive it with synthetic corpora (tests/test_dedup_pairs.py)."""
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     post = sh.join(F.broadcast(dfreq), "shingle")
     ranked = post.withColumn(
@@ -344,7 +350,10 @@ def _near_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped, thresholded. Quadratic in hot-shingle df — kept as the
     equivalence oracle for _ppjoin_pairs (and mirrored by every DuckDB
     oracle over the pair list), NOT on the shared substrate path."""
-    sh = doc_shingles(spark, sf_dir)
+    return _naive_pairs_from(doc_shingles(spark, sf_dir))
+
+
+def _naive_pairs_from(sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -57,3 +57,45 @@ def test_ppjoin_all_hot_degenerate_cap(spark):
     fast = _pairs_key(_ppjoin_pairs(spark, ORACLE_SF, hot_df=0).toPandas())
     naive = _pairs_key(_near_jaccard_pairs(spark, ORACLE_SF).toPandas())
     assert fast == naive
+
+
+# ---- property suite: synthetic corpora, adversarial vocabulary shapes ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# Tiny vocabulary (heavy sharing: most shingles go hot at low caps; lots
+# of ties), variable doc sizes including docs smaller than the shingle
+# set of others (stresses the length filter), duplicate docs (jaccard
+# exactly 1), and empty corpora.
+_shingle_id = st.integers(min_value=0, max_value=9)
+_doc = st.lists(_shingle_id, min_size=1, max_size=8)
+_corpus = st.lists(_doc, min_size=0, max_size=12)
+
+
+def _sh_df(spark, corpus):
+    rows = [
+        (doc_id, f"s{sid}")
+        for doc_id, doc in enumerate(corpus)
+        for sid in set(doc)
+    ]
+    return spark.createDataFrame(rows or [(0, "s0")], "doc_id int, shingle string").limit(
+        len(rows)
+    )
+
+
+@given(corpus=_corpus, hot_df=st.sampled_from([0, 1, 2, 100]))
+@settings(**_PROP_SETTINGS)
+def test_ppjoin_property_equivalence(spark, corpus, hot_df):
+    from mdb_to_postgres_spark.extensions.dedup import _naive_pairs_from, _ppjoin_from
+
+    sh = _sh_df(spark, corpus)
+    fast = _pairs_key(_ppjoin_from(sh, hot_df=hot_df).toPandas())
+    naive = _pairs_key(_naive_pairs_from(sh).toPandas())
+    assert fast == naive
