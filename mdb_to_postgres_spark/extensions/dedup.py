@@ -138,7 +138,7 @@ def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import session_cache_get
 
     def build() -> DataFrame:
-        return _ppjoin_pairs(spark, sf_dir).localCheckpoint()
+        return _split_pairs_from(doc_shingles(spark, sf_dir)).localCheckpoint()
 
     return session_cache_get(_JACCARD_PAIR_CACHE, spark, sf_dir, build)
 
@@ -156,6 +156,127 @@ def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # definition: at most postings/_HOT_DF entries, 343 here) for removing
 # the only quadratic term in the exact pipeline.
 _HOT_DF = 64
+
+
+def _split_pairs_from(sh: DataFrame, hot_df: int = _HOT_DF) -> DataFrame:
+    """Candidate-free exact thresholded Jaccard pair list (t = 0.35) —
+    the SHARED substrate engine. Same hot/cold split and feasibility
+    bound as _ppjoin_from, WITHOUT the prefix-candidate machinery:
+    measured at the 100x replica, the prefix+semi stage kept 52M of 52M
+    cold-sharing pairs at this low threshold (t = 0.35 prefixes cover
+    ~65% of postings — PPJoin prunes well only at high thresholds), so
+    the candidate join was pure overhead on this path. Completeness is
+    direct: every pair sharing >= 1 cold shingle appears in the cold
+    match stream; hot-only pairs ride channel 2 (both docs provably
+    hot-heavy). Exactness and the no-false-positive undercount argument
+    are identical to _ppjoin_from (see its docstring); bit-equality with
+    the naive self-join is property-tested in tests/test_dedup_pairs.py.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    post = sh.join(F.broadcast(dfreq), "shingle")
+    doc_stats = (
+        post.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("df") > hot_df, F.col("shingle")))
+            ).alias("hot_sh"),
+        )
+        .localCheckpoint()
+    )
+    smeta = doc_stats.select("doc_id", "sz", F.size("hot_sh").alias("n_hot"))
+    cold = post.filter(F.col("df") <= hot_df)
+    ca = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cold_pairs = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("cold_isect"))
+    )
+    upper = F.col("cold_isect") + F.least("n_hot_a", "n_hot_b")
+    survivors = (
+        cold_pairs.join(
+            F.broadcast(
+                smeta.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sz").alias("sz_a"),
+                    F.col("n_hot").alias("n_hot_a"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                smeta.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sz").alias("sz_b"),
+                    F.col("n_hot").alias("n_hot_b"),
+                )
+            ),
+            "doc_b",
+        )
+        .filter(27 * upper >= 7 * (F.col("sz_a") + F.col("sz_b")))
+        .localCheckpoint()
+    )
+    hot_a = doc_stats.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a"))
+    hot_b = doc_stats.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b"))
+    ch1 = (
+        survivors.join(hot_a, "doc_a")
+        .join(hot_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("cold_isect") + F.size(F.array_intersect("hot_a", "hot_b"))).alias(
+                "isect"
+            ),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    heavy = doc_stats.filter(27 * F.size("hot_sh") >= 7 * F.col("sz")).select(
+        "doc_id", "hot_sh"
+    )
+    both = ch1
+    if heavy.limit(1).count() > 0:
+        hx = heavy.select("doc_id", F.explode("hot_sh").alias("shingle"))
+        ch2 = (
+            hx.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(hx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .join(survivors.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+            .join(
+                doc_stats.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("hot_sh").alias("hot_a"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                doc_stats.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("hot_sh").alias("hot_b"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("hot_a", "hot_b")).cast("long").alias("isect"),
+                "sz_a",
+                "sz_b",
+            )
+        )
+        both = ch1.unionByName(ch2)
+    jac = both.withColumn(
+        "jaccard",
+        F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+    ).filter(F.col("jaccard") >= 0.35)
+    return jac.select("doc_a", "doc_b", "jaccard")
 
 
 def _ppjoin_pairs(
@@ -1091,11 +1212,20 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger one (quote inclusion, article + wrapper page, excerpt reuse),
     which symmetric Jaccard structurally misses: a 100-shingle doc inside
     a 1000-shingle doc has containment 1.0 but Jaccard 0.1. Both metrics
-    are emitted so the gap is visible per pair. Same inverted-index
-    candidate shape as x_dedup_near_jaccard (pairs only for docs sharing
-    a shingle — never all-pairs); integer intersection and sizes, one
-    double divide each."""
-    sh = doc_shingles(spark, sf_dir)
+    are emitted so the gap is visible per pair. Runs on the candidate-free
+    hot/cold split engine (_containment_from, the containment twin of
+    _split_pairs_from) with the containment feasibility bound
+    isect >= 0.8 * min(sz): the boilerplate-shingle df^2 term never
+    enters the match stream (see _ppjoin_pairs for the measured 100x
+    numbers). Bit-equality with the naive self-join is asserted in
+    tests/test_dedup_pairs.py plus the DuckDB oracle at the driver
+    gate."""
+    return _containment_from(doc_shingles(spark, sf_dir))
+
+
+def _naive_containment_from(sh: DataFrame) -> DataFrame:
+    """Naive full-inverted-index containment: the equivalence oracle for
+    _containment_from (quadratic in hot-shingle df — off the query path)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1111,6 +1241,144 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "containment",
             F.col("isect").cast("double") / F.least("sz_a", "sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+    return out.select("doc_a", "doc_b", "containment", "jaccard")
+
+
+def _containment_from(sh: DataFrame, hot_df: int = _HOT_DF) -> DataFrame:
+    """Containment (t = 0.8) twin of _split_pairs_from (candidate-free
+    hot/cold split). The proof obligations shift with the asymmetric
+    measure:
+
+    1. COMPLETENESS: every pair sharing >= 1 cold shingle appears in the
+       cold match stream directly; a pair sharing ONLY hot shingles with
+       C >= 0.8 has isect <= min(n_hot) and isect >= 0.8 * sz_s for the
+       smaller doc s, hence n_hot_s >= 0.8 * sz_s — the smaller doc must
+       be hot-heavy, and channel 2 enumerates exactly those.
+    2. EXACTNESS + FEASIBILITY: identical hot/cold vocabulary split;
+       upper = cold_isect + min(n_hot) and C >= 0.8 requires
+       10 * upper >= 8 * min(sz) — provably sub-threshold pairs drop
+       before the per-pair array joins.
+    3. HOT-ONLY pairs: channel 2 joins the hot-heavy docs' hot shingles
+       against the hot posting lists (bounded by |heavy| * max hot df,
+       not df^2), anti-joins the survivors, and scores by hot intersect
+       alone (undercount-monotone: no false positive can cross 0.8)."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    post = sh.join(F.broadcast(dfreq), "shingle")
+    doc_stats = (
+        post.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("df") > hot_df, F.col("shingle")))
+            ).alias("hot_sh"),
+        )
+        .localCheckpoint()
+    )
+    smeta = doc_stats.select("doc_id", "sz", F.size("hot_sh").alias("n_hot"))
+    cold = post.filter(F.col("df") <= hot_df)
+    ca = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cold_pairs = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("cold_isect"))
+    )
+    upper = F.col("cold_isect") + F.least("n_hot_a", "n_hot_b")
+    survivors = (
+        cold_pairs.join(
+            F.broadcast(
+                smeta.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sz").alias("sz_a"),
+                    F.col("n_hot").alias("n_hot_a"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                smeta.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sz").alias("sz_b"),
+                    F.col("n_hot").alias("n_hot_b"),
+                )
+            ),
+            "doc_b",
+        )
+        .filter(10 * upper >= 8 * F.least("sz_a", "sz_b"))
+        .localCheckpoint()
+    )
+    hot_a = doc_stats.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a"))
+    hot_b = doc_stats.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b"))
+    ch1 = (
+        survivors.join(hot_a, "doc_a")
+        .join(hot_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("cold_isect") + F.size(F.array_intersect("hot_a", "hot_b"))).alias(
+                "isect"
+            ),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    heavy = doc_stats.filter(10 * F.size("hot_sh") >= 8 * F.col("sz")).select(
+        "doc_id", "hot_sh"
+    )
+    both = ch1
+    if heavy.limit(1).count() > 0:
+        hvx = heavy.select(
+            F.col("doc_id").alias("doc_s"), F.explode("hot_sh").alias("shingle")
+        )
+        hot_post = post.filter(F.col("df") > hot_df).select(
+            F.col("doc_id").alias("doc_o"), "shingle"
+        )
+        ch2 = (
+            hvx.join(hot_post, "shingle")
+            .filter(F.col("doc_s") != F.col("doc_o"))
+            .select(
+                F.least("doc_s", "doc_o").alias("doc_a"),
+                F.greatest("doc_s", "doc_o").alias("doc_b"),
+            )
+            .distinct()
+            .join(survivors.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+            .join(
+                doc_stats.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("hot_sh").alias("hot_a"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                doc_stats.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("hot_sh").alias("hot_b"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("hot_a", "hot_b")).cast("long").alias("isect"),
+                "sz_a",
+                "sz_b",
+            )
+        )
+        both = ch1.unionByName(ch2)
+    out = (
+        both.withColumn(
+            "containment", F.col("isect").cast("double") / F.least("sz_a", "sz_b")
         )
         .withColumn(
             "jaccard",

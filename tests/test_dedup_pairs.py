@@ -99,3 +99,45 @@ def test_ppjoin_property_equivalence(spark, corpus, hot_df):
     fast = _pairs_key(_ppjoin_from(sh, hot_df=hot_df).toPandas())
     naive = _pairs_key(_naive_pairs_from(sh).toPandas())
     assert fast == naive
+
+
+def test_containment_split_equals_naive(spark):
+    from mdb_to_postgres_spark.extensions.dedup import (
+        _containment_from,
+        _naive_containment_from,
+        doc_shingles,
+    )
+
+    sh = doc_shingles(spark, ORACLE_SF)
+
+    def key(pdf):
+        pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return list(
+            zip(pdf.doc_a, pdf.doc_b, pdf.containment.round(12), pdf.jaccard.round(12))
+        )
+
+    for cap in (64, 2, 0):
+        fast = key(_containment_from(sh, hot_df=cap).toPandas())
+        naive = key(_naive_containment_from(sh).toPandas())
+        assert fast == naive and len(fast) > 0, f"cap={cap}"
+
+
+@given(corpus=_corpus, hot_df=st.sampled_from([0, 1, 2, 100]))
+@settings(**_PROP_SETTINGS)
+def test_containment_property_equivalence(spark, corpus, hot_df):
+    from mdb_to_postgres_spark.extensions.dedup import (
+        _containment_from,
+        _naive_containment_from,
+    )
+
+    sh = _sh_df(spark, corpus)
+
+    def key(pdf):
+        pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return list(
+            zip(pdf.doc_a, pdf.doc_b, pdf.containment.round(12), pdf.jaccard.round(12))
+        )
+
+    assert key(_containment_from(sh, hot_df=hot_df).toPandas()) == key(
+        _naive_containment_from(sh).toPandas()
+    )
