@@ -309,21 +309,27 @@ def global_row_number_specs(
         _bucket_expr(F.col(ob[0][0]), ob[0][1] == "desc", all_bounds[i])
         for i, (ob, _) in enumerate(specs)
     ]
-    counts_row = df.agg(
-        *[
-            F.array(
-                *[F.sum((b == bb).cast("long")) for bb in range(num_buckets)]
-            ).alias(f"c{i}")
-            for i, b in enumerate(buckets)
-        ]
-    ).collect()[0]
+    # Counts for ALL specs in one pass: posexplode the per-spec bucket ids
+    # into (spec, bucket) rows and group — each bucket expression is
+    # evaluated ONCE per input row. (A flat num_specs x num_buckets
+    # conditional-sum aggregate evaluates every bucket expression per sum
+    # term: ~12k codegen nodes at 3 x 64, measured 2.9 s -> 42 s on
+    # win_rfm_segmentation before this shape.)
+    counts = {
+        (r["spec"], r["b"]): r["c"]
+        for r in df.select(
+            F.posexplode(F.array(*buckets)).alias("spec", "b")
+        )
+        .groupBy("spec", "b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
     res, grand = df, 0
     for i, (order_by, out) in enumerate(specs):
-        per_bucket = [v or 0 for v in counts_row[f"c{i}"]]
         offs, run = [], 0
-        for c in per_bucket:
+        for bb in range(num_buckets):
             offs.append(run)
-            run += c
+            run += counts.get((i, bb), 0)
         grand = run
         w = (
             Window.partitionBy(_B)
