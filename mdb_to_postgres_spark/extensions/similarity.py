@@ -297,8 +297,36 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_CENTROIDS_MOD = 25  # corpus vectors with vec_id % MOD == 0 seed the centroids
+_N_CENTROIDS_MOD = 25  # MINIMUM centroid stride (floor for tiny corpora)
 _NPROBE = 8  # random (clusterless) corpora are IVF's worst case; probe wide
+
+# Data-dependent centroid stride: nlist ~ sqrt(N), the standard IVF
+# sizing. A FIXED stride makes the centroid count grow linearly with the
+# corpus, so nearest-centroid assignment costs O(N^2 / stride) — measured
+# as the 100x replica's 166-172 s ANN outliers (200k vectors x 8000
+# centroids = 1.6B cosines). stride = max(25, N // ceil(sqrt(N))) keeps
+# nlist ~ sqrt(N) (assignment ~ N^1.5, the IVF contract), reduces to the
+# historical constant 25 at every driver-gate SF (N <= 2000 at sf0.1 has
+# stride 25/44 — sf0.001/0.01 unchanged), and is integer-exact in both
+# engines: ceil(sqrt) of a BIGINT is reproducible (IEEE sqrt is correctly
+# rounded; math.isqrt on the Python side avoids float entirely).
+_STRIDE_CACHE: dict = {}
+
+_STRIDE_SQL = (
+    "(SELECT GREATEST(25, COUNT(*) // CAST(CEIL(SQRT(COUNT(*) * 1.0)) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def _centroid_stride(spark: SparkSession, sf_dir: str) -> int:
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STRIDE_CACHE:
+        n = T(spark, sf_dir, "embeddings").count()
+        r = math.isqrt(n - 1) + 1 if n > 0 else 1  # = ceil(sqrt(n))
+        _STRIDE_CACHE[key] = max(_N_CENTROIDS_MOD, n // r)
+    return _STRIDE_CACHE[key]
 
 
 def _ivf_oracle() -> str:
@@ -314,7 +342,7 @@ def _ivf_oracle() -> str:
     ),
     cent AS (
       SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
-      WHERE vec_id % {_N_CENTROIDS_MOD} = 0
+      WHERE vec_id % {_STRIDE_SQL} = 0
     ),
     asg AS (
       SELECT neighbor_id, centroid_id,
@@ -366,7 +394,7 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         e = T(spark, sf_dir, "embeddings")
         cent = flat_emb(
-            e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
+            e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
         )
         corpus = flat_corpus(spark, sf_dir)
         cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
@@ -395,7 +423,7 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be laid out (one parquet partition per list)."""
     e = T(spark, sf_dir, "embeddings")
     cent = flat_emb(
-        e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
+        e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
     )
     corpus = flat_corpus(spark, sf_dir)
     assigned = corpus.join(ivf_assignment(spark, sf_dir), "neighbor_id")
@@ -503,7 +531,7 @@ def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def train() -> DataFrame:
         cent = flat_emb(
-            e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
+            e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
         )
         for _ in range(_KMEANS_ITERS):
             assigned = _assign_thin(corpus, cent, "neighbor_id")
@@ -1030,7 +1058,7 @@ def _ivf_filtered_oracle() -> str:
     ),
     cent AS (
       SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
-      WHERE vec_id % {_N_CENTROIDS_MOD} = 0
+      WHERE vec_id % {_STRIDE_SQL} = 0
     ),
     asg AS (
       SELECT neighbor_id, label, centroid_id,
@@ -1080,7 +1108,7 @@ def x_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector); selectivity shrinks the rescore set, never grows it."""
     e = T(spark, sf_dir, "embeddings")
     cent = flat_emb(
-        e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0), "centroid_id", "t"
+        e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
     )
     corpus = flat_corpus(spark, sf_dir)
     labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
