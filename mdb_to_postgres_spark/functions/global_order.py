@@ -61,15 +61,62 @@ _B = "__go_bucket"
 
 # Bucket count for the clustered exchange. More buckets than shuffle
 # partitions (32 in the local harness) keeps hash placement smooth; on a
-# real cluster raise this with parallelism — the per-call cost is only a
-# num_buckets-long literal array and a num_buckets-term bucket expression.
+# real cluster raise this with parallelism — the per-call cost is one
+# num_buckets-long literal array (constant-folded once) and one
+# higher-order filter whose codegen size is CONSTANT in num_buckets.
 _DEFAULT_BUCKETS = 64
+
+# Session-scoped memo for the two build-time actions (quantile boundaries;
+# per-bucket totals). Without it every invocation of a substrate-backed
+# query re-runs both jobs even when the plan is identical — the whole
+# round-8 sf0.1 regression. Keyed by (applicationId, df.semanticHash(),
+# call signature); a hit is confirmed EXACTLY with df.sameSemantics()
+# against the stored frame (semanticHash alone could collide), so a hit
+# can never serve artifacts for a different input. Stale-session keys are
+# evicted like sources.tables.session_cache_get.
+_BUILD_CACHE: dict = {}
+_BUILD_MISSES = 0  # test hook: asserts warm calls skip the build jobs
+
+
+def _expr_str(c: Column) -> str:
+    """Stable textual form of an (unresolved) Column for cache keys. Two
+    different expressions never stringify identically, so key equality is
+    sound; at worst an exotic repr causes a cache MISS, never a wrong hit."""
+    try:
+        return c._jc.toString()
+    except Exception:  # pragma: no cover - Connect or repr changes
+        return str(c)
+
+
+def _build_memo(df: DataFrame, tag: tuple, build):
+    """Memoize `build()` (the two driver-side build actions) per session
+    and per (input plan, call signature)."""
+    global _BUILD_MISSES
+    app = df.sparkSession.sparkContext.applicationId
+    for k in [k for k in _BUILD_CACHE if k[0] != app]:
+        del _BUILD_CACHE[k]
+    key = (app, df.semanticHash(), tag)
+    hit = _BUILD_CACHE.get(key)
+    if hit is not None and df.sameSemantics(hit[0]):
+        return hit[1]
+    _BUILD_MISSES += 1
+    artifact = build()
+    _BUILD_CACHE[key] = (df, artifact)
+    return artifact
 
 
 def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
     """Deterministic bucket id: the count of quantile boundaries strictly
     below (asc) / above (desc) the key — monotone in the sort order, and
-    equal keys always collide into one bucket."""
+    equal keys always collide into one bucket.
+
+    Computed as size(filter(<bounds literal array>, b -> b < key)): the
+    array literal constant-folds once and the lambda is ONE expression
+    regardless of num_buckets. The previous num_buckets-term when()-chain
+    hit a measured Janino codegen cliff once inlined into wide plans
+    (2.9 s -> 42 s on win_rfm_segmentation at 3x64 terms) and would hit it
+    again for anyone following the module's own advice to raise
+    num_buckets with cluster parallelism."""
     if not bounds:
         return F.lit(0)
     # Compare through a double cast — monotone nondecreasing for every
@@ -77,12 +124,10 @@ def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
     # with the sort order; cast collisions only merge buckets, never split
     # equal keys.
     k = key.cast("double")
-    ind: Column | None = None
-    for b in bounds:
-        term = F.when((k < F.lit(b)) if descending else (k > F.lit(b)), 1).otherwise(0)
-        ind = term if ind is None else ind + term
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    cnt = F.size(F.filter(arr, (lambda b: b > k) if descending else (lambda b: b < k)))
     null_bucket = len(bounds) if descending else 0  # asc: NULLS FIRST; desc: LAST
-    return F.when(k.isNull(), F.lit(null_bucket)).otherwise(ind)
+    return F.when(k.isNull(), F.lit(null_bucket)).otherwise(cnt)
 
 
 def _sort_cols(order_by: list[tuple[str, str]]) -> list[Column]:
@@ -133,14 +178,31 @@ def global_cumsum_multi(
         bkey, descending = F.col(key), direction == "desc"
     else:
         bkey, descending = bucket_key, False
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.select(bkey.cast("double").alias("__go_key")).stat.approxQuantile(
-        "__go_key", probs, rel_err
-    )
-    bucket = _bucket_expr(bkey, descending, bounds)
 
-    sums = [F.sum(v).alias(f"s{i}") for i, (v, _) in enumerate(values)]
-    rows = {r["b"]: r for r in df.groupBy(bucket.alias("b")).agg(*sums).collect()}
+    def _build():
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = df.select(bkey.cast("double").alias("__go_key")).stat.approxQuantile(
+            "__go_key", probs, rel_err
+        )
+        b_expr = _bucket_expr(bkey, descending, bounds)
+        sums = [F.sum(v).alias(f"s{i}") for i, (v, _) in enumerate(values)]
+        rows = {
+            r["b"]: tuple(r[f"s{i}"] for i in range(len(values)))
+            for r in df.groupBy(b_expr.alias("b")).agg(*sums).collect()
+        }
+        return bounds, rows
+
+    tag = (
+        "cumsum",
+        _expr_str(bkey),
+        descending,
+        tuple(order_by),
+        num_buckets,
+        rel_err,
+        tuple(_expr_str(v) for v, _ in values),
+    )
+    bounds, rows = _build_memo(df, tag, _build)
+    bucket = _bucket_expr(bkey, descending, bounds)
     upper = 0 if inclusive else -1
     w = (
         Window.partitionBy(_B)
@@ -153,8 +215,8 @@ def global_cumsum_multi(
         for b in range(num_buckets):
             offs.append(run)
             r = rows.get(b)
-            if r is not None and r[f"s{i}"] is not None:
-                run = run + r[f"s{i}"]
+            if r is not None and r[i] is not None:
+                run = run + r[i]
         norm = _normalize(offs + [run])
         offs, grand = norm[:-1], norm[-1]
         off_at = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col(_B) + 1)
@@ -214,17 +276,31 @@ def global_running_max(
         bkey, descending = F.col(key), direction == "desc"
     else:
         bkey, descending = bucket_key, False
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.select(bkey.cast("double").alias("__go_key")).stat.approxQuantile(
-        "__go_key", probs, rel_err
-    )
-    bucket = _bucket_expr(bkey, descending, bounds)
 
-    maxes = {
-        r["b"]: r["m"]
-        for r in df.groupBy(bucket.alias("b")).agg(F.max(value).alias("m")).collect()
-        if r["m"] is not None
-    }
+    def _build():
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = df.select(bkey.cast("double").alias("__go_key")).stat.approxQuantile(
+            "__go_key", probs, rel_err
+        )
+        b_expr = _bucket_expr(bkey, descending, bounds)
+        maxes = {
+            r["b"]: r["m"]
+            for r in df.groupBy(b_expr.alias("b")).agg(F.max(value).alias("m")).collect()
+            if r["m"] is not None
+        }
+        return bounds, maxes
+
+    tag = (
+        "runmax",
+        _expr_str(bkey),
+        descending,
+        tuple(order_by),
+        num_buckets,
+        rel_err,
+        _expr_str(value),
+    )
+    bounds, maxes = _build_memo(df, tag, _build)
+    bucket = _bucket_expr(bkey, descending, bounds)
     offs, run = [], None
     for b in range(num_buckets):
         offs.append(run)
@@ -277,7 +353,7 @@ def global_row_number(
 
 def global_row_number_specs(
     df: DataFrame,
-    specs: list[tuple[list[tuple[str, str]], str]],
+    specs: list,
     *,
     total_col: str | None = None,
     num_buckets: int = _DEFAULT_BUCKETS,
@@ -297,35 +373,65 @@ def global_row_number_specs(
     3S: at 100 TB, S-1 fewer full scans and S-1 fewer count jobs; locally
     it collapses the fixed per-action latency.
 
+    A spec is (order_by, out) or (order_by, out, bucket_key): the optional
+    third element is the same escape hatch `global_cumsum_multi` takes —
+    an ASCENDING-monotone numeric expression to bucket on when the spec's
+    LEADING column is too low-cardinality to spread buckets (e.g. an order
+    count clustered in a handful of values). Bucketing never changes
+    results — equal bucket keys always share a bucket and the window still
+    sorts by the full order inside it — only balance.
+
     `total_col` (if set) carries COUNT(*) — identical for every spec."""
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    keyed = df.select(
-        *[F.col(ob[0][0]).cast("double").alias(f"__go_k{i}") for i, (ob, _) in enumerate(specs)]
-    )
-    all_bounds = keyed.stat.approxQuantile(
-        [f"__go_k{i}" for i in range(len(specs))], probs, rel_err
-    )
-    buckets = [
-        _bucket_expr(F.col(ob[0][0]), ob[0][1] == "desc", all_bounds[i])
-        for i, (ob, _) in enumerate(specs)
-    ]
-    # Counts for ALL specs in one pass: posexplode the per-spec bucket ids
-    # into (spec, bucket) rows and group — each bucket expression is
-    # evaluated ONCE per input row. (A flat num_specs x num_buckets
-    # conditional-sum aggregate evaluates every bucket expression per sum
-    # term: ~12k codegen nodes at 3 x 64, measured 2.9 s -> 42 s on
-    # win_rfm_segmentation before this shape.)
-    counts = {
-        (r["spec"], r["b"]): r["c"]
-        for r in df.select(
-            F.posexplode(F.array(*buckets)).alias("spec", "b")
+    norm = []  # (order_by, out, bucket_key_col, descending)
+    for s in specs:
+        order_by, out = s[0], s[1]
+        bk = s[2] if len(s) > 2 else None
+        if bk is None:
+            norm.append((order_by, out, F.col(order_by[0][0]), order_by[0][1] == "desc"))
+        else:
+            norm.append((order_by, out, bk, False))
+
+    def _build():
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        keyed = df.select(
+            *[bk.cast("double").alias(f"__go_k{i}") for i, (_, _, bk, _) in enumerate(norm)]
         )
-        .groupBy("spec", "b")
-        .agg(F.count("*").alias("c"))
-        .collect()
-    }
+        all_bounds = keyed.stat.approxQuantile(
+            [f"__go_k{i}" for i in range(len(norm))], probs, rel_err
+        )
+        b_exprs = [
+            _bucket_expr(bk, desc, all_bounds[i])
+            for i, (_, _, bk, desc) in enumerate(norm)
+        ]
+        # Counts for ALL specs in one pass: posexplode the per-spec bucket
+        # ids into (spec, bucket) rows and group — each bucket expression
+        # is evaluated ONCE per input row. (A flat num_specs x num_buckets
+        # conditional-sum aggregate evaluates every bucket expression per
+        # sum term: ~12k codegen nodes at 3 x 64, measured 2.9 s -> 42 s on
+        # win_rfm_segmentation before this shape.)
+        counts = {
+            (r["spec"], r["b"]): r["c"]
+            for r in df.select(
+                F.posexplode(F.array(*b_exprs)).alias("spec", "b")
+            )
+            .groupBy("spec", "b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        return all_bounds, counts
+
+    tag = (
+        "specs",
+        tuple((_expr_str(bk), desc, tuple(ob)) for ob, _, bk, desc in norm),
+        num_buckets,
+        rel_err,
+    )
+    all_bounds, counts = _build_memo(df, tag, _build)
+    buckets = [
+        _bucket_expr(bk, desc, all_bounds[i]) for i, (_, _, bk, desc) in enumerate(norm)
+    ]
     res, grand = df, 0
-    for i, (order_by, out) in enumerate(specs):
+    for i, (order_by, out, _, _) in enumerate(norm):
         offs, run = [], 0
         for bb in range(num_buckets):
             offs.append(run)

@@ -122,6 +122,62 @@ def test_single_hash_exchange_no_join(spark):
     assert "join" not in low, plan
 
 
+def test_build_actions_cached_within_session(spark):
+    # The round-9 memo: re-invoking a substrate call with the SAME logical
+    # input and signature must not re-run the two build actions (quantile
+    # boundaries + per-bucket totals) — that re-computation was the whole
+    # round-8 sf0.1 regression. A semantically DIFFERENT input must miss
+    # and still be exact.
+    import mdb_to_postgres_spark.functions.global_order as go
+
+    c = T(spark, ORACLE_SF, "customer").select("c_custkey", "c_acctbal")
+    order = [("c_acctbal", "asc"), ("c_custkey", "asc")]
+    first = global_row_number(c, order, "rn").toPandas().sort_values("c_custkey")
+    m0 = go._BUILD_MISSES
+    # same builder path a registered query takes on a warm re-run: a fresh
+    # DataFrame object with fresh expression ids but identical semantics
+    c2 = T(spark, ORACLE_SF, "customer").select("c_custkey", "c_acctbal")
+    again = global_row_number(c2, order, "rn").toPandas().sort_values("c_custkey")
+    assert go._BUILD_MISSES == m0, "warm call re-ran the build actions"
+    assert (first.rn.values == again.rn.values).all()
+    # different logical input -> miss, and the result is exact for THAT input
+    f = c.filter(F.col("c_acctbal") > 0)
+    sub = global_row_number(f, order, "rn").toPandas()
+    assert go._BUILD_MISSES > m0, "filtered input silently reused stale artifacts"
+    ref = f.select(
+        "c_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey")))
+        .alias("rn"),
+    ).toPandas()
+    merged = sub.merge(ref, on="c_custkey", suffixes=("", "_ref"))
+    assert len(merged) == len(ref) and (merged.rn == merged.rn_ref).all()
+
+
+def test_plan_contract_and_exactness_at_1024_buckets(spark):
+    # The module's own advice is to raise num_buckets with cluster
+    # parallelism; the old when()-chain bucket id made that walk into the
+    # measured Janino codegen cliff. The higher-order-filter form must keep
+    # the exact results AND the one-exchange plan at B=1024 (codegen size
+    # is constant in B).
+    c = T(spark, ORACLE_SF, "customer").select("c_custkey", "c_acctbal")
+    order = [("c_acctbal", "asc"), ("c_custkey", "asc")]
+    df = global_row_number(c, order, "rn", num_buckets=1024)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert plan.count("exchange") == 1, plan
+    assert "hashpartitioning(__go_bucket" in plan, plan
+    assert "singlepartition" not in plan and "join" not in plan, plan
+    got = df.toPandas()
+    ref = c.select(
+        "c_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey")))
+        .alias("rn"),
+    ).toPandas()
+    merged = got.merge(ref, on="c_custkey", suffixes=("", "_ref"))
+    assert len(merged) == len(ref) and (merged.rn == merged.rn_ref).all()
+
+
 def test_global_row_number_specs_matches_three_windows(spark):
     # The shared-build multi-spec form (the RFM shape): three INDEPENDENT
     # total orders over one entity table must each reproduce the engine's
@@ -155,6 +211,53 @@ def test_global_row_number_specs_matches_three_windows(spark):
     assert len(merged) == len(ref)
     for col in ("rn_a", "rn_b", "rn_c"):
         assert (merged[col] == merged[f"{col}_ref"]).all(), col
+
+
+def test_global_row_number_specs_bucket_key_escape_hatch(spark):
+    # ADVICE r8: a low-cardinality leading key (5 distinct values) collapses
+    # most rows into a few buckets. The optional per-spec bucket_key — an
+    # ascending-monotone composite of (key, tiebreak) — must spread buckets
+    # WITHOUT changing results; mixing plain and bucket-keyed specs in one
+    # call must also work.
+    from mdb_to_postgres_spark.functions.global_order import (
+        global_row_number_specs,
+    )
+
+    c = T(spark, ORACLE_SF, "customer").select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 5).alias("grp")
+    )
+    composite = F.col("grp") * F.lit(2**42) + F.col("c_custkey")
+    specs = [
+        ([("grp", "asc"), ("c_custkey", "asc")], "rn_a", composite),
+        ([("c_acctbal", "asc"), ("c_custkey", "asc")], "rn_b"),
+    ]
+    got = global_row_number_specs(c, specs).toPandas()
+    ref = c.select(
+        "c_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.asc("grp"), F.asc("c_custkey")))
+        .alias("rn_a"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey")))
+        .alias("rn_b"),
+    ).toPandas()
+    merged = got.merge(ref, on="c_custkey", suffixes=("", "_ref"))
+    assert len(merged) == len(ref)
+    for col in ("rn_a", "rn_b"):
+        assert (merged[col] == merged[f"{col}_ref"]).all(), col
+    # the composite actually spreads the exchange: >5 distinct buckets
+    from mdb_to_postgres_spark.functions.global_order import _bucket_expr
+    import mdb_to_postgres_spark.functions.global_order as go
+
+    bounds = c.select(composite.cast("double").alias("k")).stat.approxQuantile(
+        "k", [i / 64 for i in range(1, 64)], 0.001
+    )
+    n_buckets = (
+        c.select(_bucket_expr(composite, False, bounds).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 5, n_buckets
 
 
 def test_global_row_number_specs_plan_contract(spark):

@@ -68,6 +68,24 @@ def test_row_number_matches_global_window(spark, rows, direction):
     assert len(m) == len(rows) and ok
 
 
+@given(rows=_rows, direction=st.sampled_from(["asc", "desc"]))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_row_number_matches_at_1024_buckets(spark, rows, direction):
+    # num_buckets >> rows: almost every bucket empty, degenerate repeated
+    # quantile bounds, NULL keys — the constant-codegen bucket expression
+    # must stay exact exactly where the old when()-chain would have been a
+    # 1024-term codegen cliff.
+    df = _df(spark, rows)
+    order = [("k", direction), ("id", "asc")]
+    sub = global_row_number(df, order, "rn", num_buckets=1024)
+    sort = [F.asc("k") if direction == "asc" else F.desc("k"), F.asc("id")]
+    ref = df.select("id", F.row_number().over(Window.orderBy(*sort)).alias("rn"))
+    m, ok = _merged(sub, ref, "rn")
+    assert len(m) == len(rows) and ok
+
+
 @given(rows=_rows, inclusive=st.booleans())
 @settings(**SETTINGS)
 def test_cumsum_matches_global_window(spark, rows, inclusive):
