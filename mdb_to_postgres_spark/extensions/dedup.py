@@ -131,10 +131,11 @@ def x_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     component builder, the cluster QA report and the whole graph tier all
     consume it — so it is computed once per (session, sf), exactly like
     the pair table a production dedup run materializes before clustering,
-    and it is computed by the SCALE plan (_ppjoin_pairs: PPJoin-complete
-    candidates + hot/cold split verify — no term quadratic in boilerplate
-    shingle df), which is provably and test-asserted identical to the
-    naive inverted-index self-join this query's DuckDB oracle runs."""
+    and it is computed by the SCALE plan (_split_pairs_from: candidate-free
+    hot/cold split verify — no term quadratic in boilerplate shingle df,
+    no prefix-candidate overhead), which is provably and test-asserted
+    identical to the naive inverted-index self-join this query's DuckDB
+    oracle runs."""
     from ..sources.tables import session_cache_get
 
     def build() -> DataFrame:
@@ -160,123 +161,21 @@ _HOT_DF = 64
 
 def _split_pairs_from(sh: DataFrame, hot_df: int = _HOT_DF) -> DataFrame:
     """Candidate-free exact thresholded Jaccard pair list (t = 0.35) —
-    the SHARED substrate engine. Same hot/cold split and feasibility
-    bound as _ppjoin_from, WITHOUT the prefix-candidate machinery:
-    measured at the 100x replica, the prefix+semi stage kept 52M of 52M
-    cold-sharing pairs at this low threshold (t = 0.35 prefixes cover
-    ~65% of postings — PPJoin prunes well only at high thresholds), so
-    the candidate join was pure overhead on this path. Completeness is
-    direct: every pair sharing >= 1 cold shingle appears in the cold
-    match stream; hot-only pairs ride channel 2 (both docs provably
-    hot-heavy). Exactness and the no-false-positive undercount argument
-    are identical to _ppjoin_from (see its docstring); bit-equality with
-    the naive self-join is property-tested in tests/test_dedup_pairs.py.
-    """
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    post = sh.join(F.broadcast(dfreq), "shingle")
-    doc_stats = (
-        post.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("sz"),
-            F.sort_array(
-                F.collect_set(F.when(F.col("df") > hot_df, F.col("shingle")))
-            ).alias("hot_sh"),
-        )
-        .localCheckpoint()
-    )
-    smeta = doc_stats.select("doc_id", "sz", F.size("hot_sh").alias("n_hot"))
-    cold = post.filter(F.col("df") <= hot_df)
-    ca = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
-    cb = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cold_pairs = (
-        ca.join(cb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("cold_isect"))
-    )
-    upper = F.col("cold_isect") + F.least("n_hot_a", "n_hot_b")
-    survivors = (
-        cold_pairs.join(
-            F.broadcast(
-                smeta.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("sz").alias("sz_a"),
-                    F.col("n_hot").alias("n_hot_a"),
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                smeta.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("sz").alias("sz_b"),
-                    F.col("n_hot").alias("n_hot_b"),
-                )
-            ),
-            "doc_b",
-        )
-        .filter(27 * upper >= 7 * (F.col("sz_a") + F.col("sz_b")))
-        .localCheckpoint()
-    )
-    hot_a = doc_stats.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a"))
-    hot_b = doc_stats.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b"))
-    ch1 = (
-        survivors.join(hot_a, "doc_a")
-        .join(hot_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("cold_isect") + F.size(F.array_intersect("hot_a", "hot_b"))).alias(
-                "isect"
-            ),
-            "sz_a",
-            "sz_b",
-        )
-    )
-    heavy = doc_stats.filter(27 * F.size("hot_sh") >= 7 * F.col("sz")).select(
-        "doc_id", "hot_sh"
-    )
-    both = ch1
-    if heavy.limit(1).count() > 0:
-        hx = heavy.select("doc_id", F.explode("hot_sh").alias("shingle"))
-        ch2 = (
-            hx.select(F.col("doc_id").alias("doc_a"), "shingle")
-            .join(hx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .join(survivors.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
-            .join(
-                doc_stats.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("hot_sh").alias("hot_a"),
-                    F.col("sz").alias("sz_a"),
-                ),
-                "doc_a",
-            )
-            .join(
-                doc_stats.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("hot_sh").alias("hot_b"),
-                    F.col("sz").alias("sz_b"),
-                ),
-                "doc_b",
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("hot_a", "hot_b")).cast("long").alias("isect"),
-                "sz_a",
-                "sz_b",
-            )
-        )
-        both = ch1.unionByName(ch2)
-    jac = both.withColumn(
-        "jaccard",
-        F.col("isect").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("isect")),
-    ).filter(F.col("jaccard") >= 0.35)
-    return jac.select("doc_a", "doc_b", "jaccard")
+    the SHARED substrate engine deployed by x_dedup_near_jaccard and
+    x_dedup_prefix_filter_join via the session pair cache. Same hot/cold
+    split and feasibility bound as the PPJoin demo twin (_ppjoin_from),
+    WITHOUT the prefix-candidate machinery: measured at the 100x replica,
+    the prefix+semi stage kept 52M of 52M cold-sharing pairs at this low
+    threshold (t = 0.35 prefixes cover ~65% of postings — PPJoin prunes
+    well only at high thresholds), so the candidate join was pure
+    overhead on this path. Completeness is direct: every pair sharing
+    >= 1 cold shingle appears in the cold match stream; hot-only pairs
+    ride channel 2 (both docs provably hot-heavy). Exactness and the
+    no-false-positive undercount argument are in _pairs_from's proof
+    docstring; bit-equality with the naive self-join (including hot_df
+    4/0 caps and adversarial synthetic corpora) is asserted in
+    tests/test_dedup_pairs.py for THIS function, not just the twin."""
+    return _pairs_from(sh, hot_df, use_prefix_candidates=False)
 
 
 def _ppjoin_pairs(
@@ -331,30 +230,45 @@ def _ppjoin_pairs(
 
 
 def _ppjoin_from(sh: DataFrame, hot_df: int = _HOT_DF) -> DataFrame:
-    """DataFrame-level core of _ppjoin_pairs: `sh` is any distinct
-    (doc_id, shingle) table. Split out so the hypothesis property suite
-    can drive it with synthetic corpora (tests/test_dedup_pairs.py)."""
+    """The PPJoin candidate-bound twin of _split_pairs_from — identical
+    output (equality asserted in tests/test_dedup_pairs.py), different
+    cost model: the prefix self-join prunes candidates well at HIGH
+    thresholds but keeps essentially everything at t = 0.35, so the
+    deployed substrate path is the candidate-free twin. Kept as the
+    didactic/demo form and as the high-threshold engine of choice."""
+    return _pairs_from(sh, hot_df, use_prefix_candidates=True)
+
+
+def _pairs_from(
+    sh: DataFrame, hot_df: int = _HOT_DF, *, use_prefix_candidates: bool = False
+) -> DataFrame:
+    """Shared exact thresholded-Jaccard pair core over any distinct
+    (doc_id, shingle) table: hot/cold split verify + feasibility bound,
+    with the PPJoin prefix-candidate stage optional (see _ppjoin_pairs's
+    proof docstring for the four exactness/completeness claims). One body
+    serves both engines so the proof-carrying code exists exactly once."""
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     post = sh.join(F.broadcast(dfreq), "shingle")
-    ranked = post.withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
-    ).withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.expr("(35 * sz + 99) div 100") + 1
-    ).select("doc_id", "shingle", "sz")
-    # Candidate pairs: prefix-shingle self-join + AllPairs length filter
-    # (J(a,b) >= t forces t*|a| <= |b| and symmetrically).
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (100 * F.col("b.sz") >= 35 * F.col("a.sz"))
-            & (100 * F.col("a.sz") >= 35 * F.col("b.sz"))
+    if use_prefix_candidates:
+        ranked = post.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        ).withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+        prefix = ranked.filter(
+            F.col("rn") <= F.col("sz") - F.expr("(35 * sz + 99) div 100") + 1
+        ).select("doc_id", "shingle", "sz")
+        # Candidate pairs: prefix-shingle self-join + AllPairs length
+        # filter (J(a,b) >= t forces t*|a| <= |b| and symmetrically).
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "shingle")
+            .filter(
+                (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (100 * F.col("b.sz") >= 35 * F.col("a.sz"))
+                & (100 * F.col("a.sz") >= 35 * F.col("b.sz"))
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
     # Per-doc stats in ONE pass, one thin row per doc, checkpointed:
     # collect_set skips the NULL the when() emits for cold shingles, so
     # hot_sh is [] (never NULL) for boilerplate-free docs.
@@ -375,12 +289,11 @@ def _ppjoin_from(sh: DataFrame, hot_df: int = _HOT_DF) -> DataFrame:
     cold = post.filter(F.col("df") <= hot_df)
     ca = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
     cb = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cold_pairs = (
-        ca.join(cb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("cold_isect"))
+    cold_pairs = ca.join(cb, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if use_prefix_candidates:
+        cold_pairs = cold_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
+    cold_pairs = cold_pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("cold_isect")
     )
     upper = F.col("cold_isect") + F.least("n_hot_a", "n_hot_b")
     survivors = (
@@ -1530,10 +1443,19 @@ def x_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     over this corpus's ~30-word vocab every 'rare' token still hits half
     the docs and candidates go quadratic (measured 30 s before this
     shingle formulation: blocking keys must be selective, whatever the
-    algorithm). Shares _ppjoin_pairs with x_dedup_near_jaccard — the two
-    queries are one engine with two oracles (naive DuckDB self-join both
-    times, which is the point: identical output, different cost model)."""
-    return _ppjoin_pairs(spark, sf_dir)
+    algorithm).
+
+    COST-MODEL NOTE (round 9): the registered row now returns the shared
+    session-cached pair list (x_dedup_near_jaccard's candidate-free
+    _split_pairs_from engine) — at t = 0.35 the prefix bound keeps 52M of
+    52M cold-sharing pairs (measured, 100x replica), so the candidate
+    join is pure overhead at this threshold and the default plan for a
+    production-named operator must be the 100 TB-safe one. The PPJoin
+    candidate plan documented above remains available as _ppjoin_pairs /
+    _ppjoin_from (the high-threshold engine of choice) and its
+    bit-equality with the deployed engine and the naive self-join is
+    asserted in tests/test_dedup_pairs.py."""
+    return x_dedup_near_jaccard(spark, sf_dir)
 
 
 @query(
