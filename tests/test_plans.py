@@ -529,12 +529,19 @@ def test_bucketed_dedup_candidate_join_is_exchange_free(spark):
     assert "Exchange" not in seg, seg
 
 
-def test_char_lm_model_join_broadcasts(spark):
-    # the |alphabet|^2-row bigram model must broadcast into the scoring
-    # join; shipping the bigram stream to the model would shuffle the
-    # whole corpus's bigrams twice.
-    plan = explain_str(QUERIES["x_text_char_lm_score"](spark, ORACLE_SF))
-    assert "BroadcastHashJoin" in plan, plan
+def test_char_lm_scoring_is_map_only(spark):
+    # round-9 shape: the |alphabet|^2 model is a session-cached substrate
+    # collected once; scoring evaluates a constant-folded bigram->ppm map
+    # literal per position — NO join and NO aggregation exchange in the
+    # scoring plan (the one repartition for per-char parallelism is the
+    # only data movement). The old shape rebuilt + shuffled the counted
+    # (doc, bigram) stream per call: 35 s warm at the 100x replica.
+    df = QUERIES["x_text_char_lm_score"](spark, ORACLE_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "join" not in low, plan
+    assert low.count("exchange") == 1, plan  # the parallelism repartition
+    assert "hashaggregate" not in low, plan
 
 
 def test_theta_sketch_k_minima_via_takeordered(spark):
