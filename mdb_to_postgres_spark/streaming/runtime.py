@@ -67,6 +67,80 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def read_events_stream_sliced(
+    spark: SparkSession, sf_dir: str, n_slices: int = 10
+) -> DataFrame:
+    """events.parquet staged as `n_slices` TIME-ORDERED slice files with
+    ascending modification times, so an availableNow run with
+    maxFilesPerTrigger=1 replays the corpus as n_slices micro-batches in
+    event-time order — the shape that lets a test observe the watermark
+    ADVANCING between batches and state actually being evicted.
+    (read_events_stream's single staged file collapses to one data batch:
+    correct for result parity, blind to state-lifetime bugs.)"""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache", tag, f"events_stream_sliced_{n_slices}",
+    )
+    done = os.path.join(os.path.dirname(stage), f"events_stream_sliced_{n_slices}.done")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        order = tbl.column("ts").to_pandas().sort_values(kind="mergesort").index
+        tbl = tbl.take(list(order))
+        os.makedirs(stage, exist_ok=True)
+        n = tbl.num_rows
+        per = max(1, (n + n_slices - 1) // n_slices)
+        for i in range(n_slices):
+            chunk = tbl.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            tmp = os.path.join(os.path.dirname(stage), f"slice_{i:03d}.tmp")
+            pq.write_table(chunk, tmp)
+            dst = os.path.join(stage, f"slice_{i:03d}.parquet")
+            os.replace(tmp, dst)
+            # file source processes candidates in mod-time order; make the
+            # ordering explicit rather than racing the copy loop's clock
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(done, "w") as f:
+            f.write("ok")
+    from ..sources.tables import T as _scan
+
+    ts_is_long = _scan(spark, sf_dir, "events").schema["ts"].dataType.simpleString() == "bigint"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_to_memory_with_progress(
+    spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str
+):
+    """run_to_memory + the per-micro-batch StreamingQueryProgress list —
+    the state-store accounting (numRowsTotal / numRowsRemoved per
+    operator per batch) tests need to assert eviction."""
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = list(q.recentProgress)
+    return spark.table(name), progresses
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of batch_forms.stream_tumbling_window."""
     return (
@@ -103,12 +177,25 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
 
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of batch_forms.stream_dedup: exactly-once by key
-    within the watermark horizon (state expires with the watermark)."""
+    within the watermark horizon (state expires with the watermark).
+
+    The watermark rides the minute-truncated EVENT-TIME column and that
+    column is part of the dedup key: Spark only retires dropDuplicates
+    state when one of the dedup columns IS the watermarked event-time
+    column. The previous form keyed on the minute as a plain BIGINT
+    beside a watermark on raw ts — identical output on bounded input,
+    state pinned FOREVER on unbounded input (caught by
+    test_state_store_evicts_as_watermark_advances: numRowsRemoved stayed
+    0 across every micro-batch). Keying on the truncated timestamp is
+    exact, not approximate: two rows share a key only if they share the
+    minute, so eviction at watermark - horizon can never split a key."""
     e = events.withColumn(
-        "minute_start", (F.floor(F.col("ts").cast("long") / 60) * 60)
+        "minute_ts", F.timestamp_seconds(F.floor(F.col("ts").cast("long") / 60) * 60)
     )
-    return e.withWatermark("ts", watermark).dropDuplicates(
-        ["user_id", "event_type", "minute_start"]
+    return (
+        e.withWatermark("minute_ts", watermark)
+        .dropDuplicates(["user_id", "event_type", "minute_ts"])
+        .withColumn("minute_start", F.col("minute_ts").cast("long"))
     )
 
 

@@ -283,6 +283,59 @@ def test_stream_windowed_topk_equals_batch(spark):
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
 
+@pytest.mark.parametrize(
+    "name,build,mode",
+    [
+        ("tumbling", lambda ev: runtime.tumbling_counts(ev), "append"),
+        ("session", lambda ev: runtime.session_counts(ev), "append"),
+        ("dedup", lambda ev: runtime.dedup_stream(ev), "append"),
+        ("win_card", lambda ev: runtime.windowed_user_cardinality(ev), "append"),
+        ("dyn_sess", lambda ev: runtime.session_counts_dynamic(ev), "append"),
+    ],
+    ids=["tumbling", "session", "dedup", "win_card", "dyn_sess"],
+)
+def test_state_store_evicts_as_watermark_advances(spark, name, build, mode):
+    """THE streaming scale gate no batch oracle or plan signature can see:
+    replay the corpus as ~10 event-time-ordered micro-batches
+    (maxFilesPerTrigger=1 over time-sliced staged files) and assert from
+    the engine's own state-store accounting that the watermark actually
+    RETIRES state — rows are removed mid-run and the final state holds
+    only the last horizon, not the whole history. A stateful operator
+    whose predicate or watermark wiring silently pins state forever
+    produces identical RESULTS on bounded input; it only dies in
+    production, weeks in, as an OOM. Asserted per twin:
+      1. the run really was multi-batch (>= 3 state-reporting batches);
+      2. numRowsRemoved > 0 somewhere mid-run (eviction fired);
+      3. the final batch's numRowsTotal is a small fraction of the keys
+         the run emitted (state is horizon-sized, not history-sized)."""
+    got, progresses = runtime.run_to_memory_with_progress(
+        spark,
+        build(runtime.read_events_stream_sliced(spark, ORACLE_SF)),
+        f"evict_{name}",
+        mode,
+    )
+    emitted = got.count()
+    assert emitted > 50, f"{name}: too few emitted rows for the bound to mean anything"
+    state_batches = []
+    for p in progresses:
+        ops = p["stateOperators"] if "stateOperators" in p else []
+        if ops:
+            state_batches.append(
+                (
+                    sum(op["numRowsTotal"] for op in ops),
+                    sum(op.get("numRowsRemoved", 0) for op in ops),
+                )
+            )
+    assert len(state_batches) >= 3, f"{name}: not multi-batch: {len(state_batches)}"
+    total_removed = sum(r for _, r in state_batches)
+    assert total_removed > 0, f"{name}: watermark never evicted state"
+    final_total = state_batches[-1][0]
+    assert final_total < 0.5 * emitted, (
+        f"{name}: final state {final_total} ~ history size {emitted}; "
+        "state is not horizon-bounded"
+    )
+
+
 def test_windowed_join_runtime_equals_batch_and_evicts_state(spark):
     # The multi-stateful pipeline (stream-stream join -> tumbling window)
     # must (a) reproduce the batch SQL exactly and (b) actually run BOTH
