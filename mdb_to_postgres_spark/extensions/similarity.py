@@ -312,8 +312,11 @@ _NPROBE = 8  # random (clusterless) corpora are IVF's worst case; probe wide
 # rounded; math.isqrt on the Python side avoids float entirely).
 _STRIDE_CACHE: dict = {}
 
+# GREATEST(..., 1) guards the empty-table divisor (CEIL(SQRT(0)) = 0), for
+# parity with the Python n == 0 branch below.
 _STRIDE_SQL = (
-    "(SELECT GREATEST(25, COUNT(*) // CAST(CEIL(SQRT(COUNT(*) * 1.0)) AS BIGINT)) "
+    "(SELECT GREATEST(25, COUNT(*) // "
+    "GREATEST(CAST(CEIL(SQRT(COUNT(*) * 1.0)) AS BIGINT), 1)) "
     "FROM embeddings)"
 )
 
@@ -321,12 +324,17 @@ _STRIDE_SQL = (
 def _centroid_stride(spark: SparkSession, sf_dir: str) -> int:
     import math
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STRIDE_CACHE:
+    from ..sources.tables import session_cache_get
+
+    def build() -> int:
         n = T(spark, sf_dir, "embeddings").count()
         r = math.isqrt(n - 1) + 1 if n > 0 else 1  # = ceil(sqrt(n))
-        _STRIDE_CACHE[key] = max(_N_CENTROIDS_MOD, n // r)
-    return _STRIDE_CACHE[key]
+        return max(_N_CENTROIDS_MOD, n // r)
+
+    # session_cache_get for the stale-appId eviction hygiene the other
+    # substrate memos follow (ADVICE r8) — harmless int values, but a
+    # stopped session's keys should not accumulate in long-lived processes.
+    return session_cache_get(_STRIDE_CACHE, spark, sf_dir, build)
 
 
 def _ivf_oracle() -> str:
