@@ -529,6 +529,35 @@ def test_bucketed_dedup_candidate_join_is_exchange_free(spark):
     assert "Exchange" not in seg, seg
 
 
+def test_heavy_query_plans_stable_at_sf1(spark):
+    """Second-scale-point goldens (round-9, VERDICT item 3): AQE flips
+    broadcast/skew decisions with data size, so the sf0.001 sweep above
+    cannot see a scale-point plan regression — the 12 heaviest data-bound
+    queries get their signatures re-checked at the 10x replica. After
+    reviewing an INTENDED change: python tools/plan_shapes.py --sf1
+    --write."""
+    import json
+    import os
+
+    import pytest
+
+    from tools.plan_shapes import GOLDEN_SF1, HEAVY_SF1, SF1, shape_signature
+
+    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        pytest.skip("10x replica absent; regenerate via tools/scale_corpus.py")
+    from mdb_to_postgres_spark.registry import QUERIES
+
+    with open(GOLDEN_SF1) as f:
+        golden = json.load(f)["shapes"]
+    drift = {}
+    for name in HEAVY_SF1:
+        plan = QUERIES[name](spark, SF1)._jdf.queryExecution().executedPlan().toString()
+        sig = shape_signature(plan)
+        if sig != golden.get(name):
+            drift[name] = (golden.get(name), sig)
+    assert not drift, drift
+
+
 def test_char_lm_scoring_is_map_only(spark):
     # round-9 shape: the |alphabet|^2 model is a session-cached substrate
     # collected once; scoring evaluates a constant-folded bigram->ppm map

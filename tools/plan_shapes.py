@@ -25,6 +25,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_shapes.json")
 SF = "/root/testdata/sf0.001"
 
+# Second scale point: the sf0.001 goldens cannot see a plan regression
+# that only appears when AQE flips a broadcast/skew decision with data
+# size, so the heaviest data-bound queries get a second signature at the
+# 10x replica (.cache/sf1, regenerate via tools/scale_corpus.py).
+# Regenerate after reviewing: python tools/plan_shapes.py --sf1 --write
+GOLDEN_SF1 = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "plan_shapes_sf1.json"
+)
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "sf1"
+)
+HEAVY_SF1 = (
+    "x_dedup_containment",
+    "x_dedup_near_jaccard",
+    "join_skew_salted",
+    "sort_zorder_cluster",
+    "x_sim_ann_ivf_pq",
+    "agg_join_size_sketch",
+    "x_text_keyphrase_rake",
+    "x_text_char_lm_score",
+    "x_text_langid_ngram",
+    "win_rfm_segmentation",
+    "sql_q9_product_margin",
+    "join_geo_grid_nearest",
+)
+
 _NODE = re.compile(r"^[\s:+|*-]*\(?\d*\)?\s*([A-Za-z][A-Za-z0-9]*)")
 
 
@@ -60,6 +86,17 @@ def compute_all(spark) -> dict[str, dict[str, int]]:
     return dict(sorted(shapes.items()))
 
 
+def compute_sf1(spark) -> dict[str, dict[str, int]]:
+    from mdb_to_postgres_spark.registry import QUERIES, load_all
+
+    load_all()
+    shapes = {}
+    for name in HEAVY_SF1:
+        plan = QUERIES[name](spark, SF1)._jdf.queryExecution().executedPlan().toString()
+        shapes[name] = shape_signature(plan)
+    return dict(sorted(shapes.items()))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -68,13 +105,16 @@ def main() -> None:
     builder = SparkSession.builder.master("local[4]").appName("plan-shapes")
     spark = build_conf(builder, shuffle_partitions=4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    shapes = compute_all(spark)
+    if "--sf1" in sys.argv:
+        shapes, golden_path, sf_tag = compute_sf1(spark), GOLDEN_SF1, SF1
+    else:
+        shapes, golden_path, sf_tag = compute_all(spark), GOLDEN, SF
     if "--write" in sys.argv:
-        with open(GOLDEN, "w") as f:
-            json.dump({"sf": SF, "shapes": shapes}, f, indent=1, sort_keys=True)
-        print(f"wrote {len(shapes)} shapes -> {GOLDEN}")
+        with open(golden_path, "w") as f:
+            json.dump({"sf": sf_tag, "shapes": shapes}, f, indent=1, sort_keys=True)
+        print(f"wrote {len(shapes)} shapes -> {golden_path}")
         return
-    with open(GOLDEN) as f:
+    with open(golden_path) as f:
         golden = json.load(f)["shapes"]
     changed = {
         n: (golden.get(n), shapes.get(n))
