@@ -21,7 +21,15 @@ ORACLE_SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 def spark():
     from pyspark.sql import SparkSession
 
-    builder = SparkSession.builder.master("local[4]").appName("mdb-spark-tests")
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("mdb-spark-tests")
+        # The 1g default driver heap survived 8 rounds of sf0.01 tests but
+        # dies mid-suite once the 10x-replica plan goldens build their
+        # substrates on top of ~440 tests' accumulated localCheckpoint
+        # blocks (py4j ConnectionRefused = JVM OOM death, round 9).
+        .config("spark.driver.memory", "12g")
+    )
     # Few shuffle partitions: test data is tiny, scheduling dominates.
     s = build_conf(builder, shuffle_partitions=4).getOrCreate()
     yield s
