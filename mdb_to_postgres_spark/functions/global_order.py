@@ -105,25 +105,25 @@ def _build_memo(df: DataFrame, tag: tuple, build):
     return artifact
 
 
-# Bucket-id form switch: up to this many boundaries the indicator-sum
-# when()-chain wins — it rides whole-stage codegen (JIT-compiled, branch-
-# predictable; measured 2.6 s vs 3.7-4.5 s warm for the HOF form on the
-# sf0.1 z-order fact scan). Above it, the higher-order filter form wins:
-# its codegen size is CONSTANT in num_buckets, so the module's own advice
-# to raise buckets with cluster parallelism can never walk into the
-# Janino expression-count cliff round 8 measured (2.9 s -> 42 s when
-# 3 x 64 chain terms were inlined into 192 aggregate terms). Both forms
-# are bit-identical and property-tested (B=4 exercises the chain,
-# B=1024 the HOF).
-_CHAIN_MAX = 128
-
-
 def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
     """Deterministic bucket id: the count of quantile boundaries strictly
     below (asc) / above (desc) the key — monotone in the sort order, and
-    equal keys always collide into one bucket. Small B: codegen'd
-    indicator chain; large B: size(filter(<bounds literal>, b -> b < key))
-    with one lambda regardless of B (see _CHAIN_MAX)."""
+    equal keys always collide into one bucket.
+
+    Computed as size(filter(<bounds literal array>, b -> b < key)): the
+    array literal constant-folds once and the lambda is ONE expression
+    regardless of num_buckets. Two measured reasons this beats the
+    num_buckets-term when()-chain, not one: (a) the chain hit a Janino
+    codegen cliff once inlined into wide plans (2.9 s -> 42 s on
+    win_rfm_segmentation at 3 x 64 terms, round 8), and (b) even a SAFE
+    chain pays per-call whole-stage-codegen compilation on every fresh
+    plan — a same-session A/B at sf0.1 measured the chain form 2x slower
+    warm on the cache-hit substrate queries (rfm 3.3 s vs 1.5 s, pareto
+    2.4 vs 1.4, ks 1.7 vs 0.8) because compile latency repeats per call
+    while the HOF's interpreted eval is tiny next to it. The HOF's
+    per-row O(B) interpreted cost only shows when a BUILD job evaluates
+    the bucket over a full fact table — which the session memo runs once
+    per (input, spec), not per call."""
     if not bounds:
         return F.lit(0)
     # Compare through a double cast — monotone nondecreasing for every
@@ -131,17 +131,8 @@ def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
     # with the sort order; cast collisions only merge buckets, never split
     # equal keys.
     k = key.cast("double")
-    if len(bounds) <= _CHAIN_MAX:
-        ind: Column | None = None
-        for b in bounds:
-            term = F.when((k < F.lit(b)) if descending else (k > F.lit(b)), 1).otherwise(0)
-            ind = term if ind is None else ind + term
-        cnt: Column = ind
-    else:
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        cnt = F.size(
-            F.filter(arr, (lambda b: b > k) if descending else (lambda b: b < k))
-        )
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    cnt = F.size(F.filter(arr, (lambda b: b > k) if descending else (lambda b: b < k)))
     null_bucket = len(bounds) if descending else 0  # asc: NULLS FIRST; desc: LAST
     return F.when(k.isNull(), F.lit(null_bucket)).otherwise(cnt)
 
