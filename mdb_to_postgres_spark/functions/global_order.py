@@ -90,7 +90,11 @@ def _expr_str(c: Column) -> str:
 
 def _build_memo(df: DataFrame, tag: tuple, build):
     """Memoize `build()` (the two driver-side build actions) per session
-    and per (input plan, call signature)."""
+    and per (input plan, call signature). Assumes the plan's SOURCES are
+    immutable within a session (true for the parquet corpus and every
+    substrate; the same assumption the T() catalog cache makes) — a
+    caller that overwrites an input path mid-session must construct a
+    semantically different plan (e.g. a fresh localCheckpoint) to miss."""
     global _BUILD_MISSES
     app = df.sparkSession.sparkContext.applicationId
     for k in [k for k in _BUILD_CACHE if k[0] != app]:

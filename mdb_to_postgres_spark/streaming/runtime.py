@@ -364,19 +364,25 @@ def static_join_counts(spark: SparkSession, events: DataFrame, sf_dir: str) -> D
     )
 
 
-def click_purchase_join(spark: SparkSession, sf_dir: str, band_sec: int = 600) -> DataFrame:
+def click_purchase_join(
+    spark: SparkSession, sf_dir: str, band_sec: int = 600, source=None
+) -> DataFrame:
     """Stream-stream interval join twin of batch_forms.stream_stream_join:
     two independent file streams (clicks, purchases) with watermarks on
     both sides + the time-range predicate — the state-expiry contract a
     stream-stream join requires. Event time is floor-second-truncated
     before the watermark so the interval predicate matches the batch
-    form's ts_sec bounds exactly (see windowed_join_counts)."""
-    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+    form's ts_sec bounds exactly (see windowed_join_counts). `source`
+    overrides the stream reader (default read_events_stream; the eviction
+    gate passes read_events_stream_sliced to replay as ordered
+    micro-batches)."""
+    source = source or read_events_stream
+    clicks = source(spark, sf_dir).filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("a_user"),
         F.to_timestamp(F.col("ts").cast("long")).alias("a_ts"),
     ).withWatermark("a_ts", "30 minutes")
-    purchases = read_events_stream(spark, sf_dir).filter(
+    purchases = source(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
         F.col("event_id").alias("purchase_id"),

@@ -336,6 +336,45 @@ def test_state_store_evicts_as_watermark_advances(spark, name, build, mode):
     )
 
 
+def test_stream_stream_join_state_evicts_across_batches(spark):
+    """Join-state variant of the eviction gate: the symmetricHashJoin's
+    buffered rows must retire as BOTH watermarks advance across ~10
+    ordered micro-batches — a stream-stream join that never evicts
+    buffers the entire history of both sides. Inner interval joins emit
+    on match, so multi-batch replay must ALSO reproduce the batch result
+    exactly (a row dropped by over-eager eviction would show here)."""
+    got, progresses = runtime.run_to_memory_with_progress(
+        spark,
+        runtime.click_purchase_join(
+            spark, ORACLE_SF, source=runtime.read_events_stream_sliced
+        ),
+        "t_ssj_evict",
+        "append",
+    )
+    want = QUERIES["stream_stream_join"](spark, ORACLE_SF).toPandas()
+    got_pd = got.toPandas()
+    pd.testing.assert_frame_equal(_canon(got_pd), _canon(want))
+    join_batches = []
+    for p in progresses:
+        ops = p["stateOperators"] if "stateOperators" in p else []
+        for op in ops:
+            if op.get("operatorName") == "symmetricHashJoin":
+                join_batches.append(
+                    (op["numRowsTotal"], op.get("numRowsRemoved", 0))
+                )
+    assert len(join_batches) >= 3, f"not multi-batch: {len(join_batches)}"
+    assert sum(r for _, r in join_batches) > 0, "join state never evicted"
+    n_inputs = (
+        spark.read.parquet(f"{ORACLE_SF}/events.parquet")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .count()
+    )
+    final_total = join_batches[-1][0]
+    assert final_total < 0.5 * n_inputs, (
+        f"final join state {final_total} ~ history size {n_inputs}"
+    )
+
+
 def test_windowed_join_runtime_equals_batch_and_evicts_state(spark):
     # The multi-stateful pipeline (stream-stream join -> tumbling window)
     # must (a) reproduce the batch SQL exactly and (b) actually run BOTH
