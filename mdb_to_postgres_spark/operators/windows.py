@@ -1698,11 +1698,28 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
     ).localCheckpoint()
+    # recency/frequency leading keys are LOW-CARDINALITY (day counts /
+    # order counts cluster in a handful of values), which would collapse
+    # most rows into a few quantile buckets and degrade the clustered
+    # window toward single-partition at scale (ADVICE r8). The composite
+    # bucket_key (key * 2^42 + custkey, negated for the desc spec) is
+    # ascending-monotone in each spec's total order, so results are
+    # unchanged — only bucket balance improves. Double-cast rounding on
+    # the composite can only MERGE adjacent buckets, never split a key.
+    shift = F.lit(2**42)
     ranked = global_row_number_specs(
         rfm,
         [
-            ([("recency_days", "desc"), ("custkey", "asc")], "rn_r"),
-            ([("frequency", "asc"), ("custkey", "asc")], "rn_f"),
+            (
+                [("recency_days", "desc"), ("custkey", "asc")],
+                "rn_r",
+                -F.col("recency_days") * shift + F.col("custkey"),
+            ),
+            (
+                [("frequency", "asc"), ("custkey", "asc")],
+                "rn_f",
+                F.col("frequency") * shift + F.col("custkey"),
+            ),
             ([("monetary", "asc"), ("custkey", "asc")], "rn_m"),
         ],
         total_col="n_tot",
