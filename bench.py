@@ -49,7 +49,9 @@ def _tier(name: str) -> str:
     return "_".join(parts[:2]) if parts[0] == "x" else parts[0]
 
 
-def build_payload(timings: dict[str, float], sf: str) -> str:
+def build_payload(
+    timings: dict[str, float], sf: str, warm_totals: list[float] | None = None
+) -> str:
     """The ONE stdout line the driver parses. Rounds 1-6 all recorded
     "parsed": null because the full per-query map (~8-10 KB at 300+
     queries) outgrew the driver's line capture — BENCH_r06's kept tail
@@ -64,19 +66,27 @@ def build_payload(timings: dict[str, float], sf: str) -> str:
     tiers: dict[str, float] = {}
     for n, v in timings.items():
         tiers[_tier(n)] = tiers.get(_tier(n), 0.0) + v
-    return json.dumps(
-        {
-            "metric": "steady_state_query_wall_time",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "n_queries": len(timings),
-            "queries": {n: round(v, 2) for n, v in top.items()},
-            "tiers": {t: round(v, 2) for t, v in sorted(tiers.items())},
-            "full": _SIDECAR,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "steady_state_query_wall_time",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {n: round(v, 2) for n, v in top.items()},
+        "tiers": {t: round(v, 2) for t, v in sorted(tiers.items())},
+        "full": _SIDECAR,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if warm_totals:
+        # Window-health self-report (round-9 verdict item 2): this box
+        # shows per-run drift up to ±10-15% and one measured mid-run pass
+        # at +40%, bigger than most round-over-round deltas — so the line
+        # carries the warm pass totals and their relative spread. A
+        # drifted run self-identifies (large spread_pct) instead of
+        # masquerading as a real regression/improvement.
+        payload["warm_totals"] = [round(t, 2) for t in warm_totals]
+        lo = min(warm_totals)
+        payload["spread_pct"] = round(100.0 * (max(warm_totals) - lo) / lo, 1) if lo else 0.0
+    return json.dumps(payload, separators=(",", ":"))
 
 
 def main() -> None:
@@ -99,22 +109,24 @@ def main() -> None:
 
     # Pass 1 (recorded as cold_*): first execution of every plan shape pays
     # one-time driver costs — Catalyst analysis caches, Janino/JIT codegen
-    # compilation, Python-worker pool spin-up. Passes 2 and 3 are warm; the
-    # headline per-query number is the MIN of the two warm passes — this box
-    # shows transient multi-second spikes on individual queries (observed: a
-    # 0.3 s query reading 8.7 s in one pass, normal in the next), and min-of-2
-    # is the standard way to report the steady-state cost a long-lived
-    # cluster job actually pays without letting one scheduler/page-cache
-    # hiccup double the total.
+    # compilation, Python-worker pool spin-up. Passes 2-4 are warm; the
+    # headline per-query number is the MIN of the three warm passes — this
+    # box shows transient multi-second spikes on individual queries
+    # (observed: a 0.3 s query reading 8.7 s in one pass, normal in the
+    # next) and, measured in round 9, whole WINDOWS degrading up to +40%
+    # mid-run. Min-of-2 let one degraded window leak asymmetrically into
+    # per-query minima; min-of-3 (round-10 verdict item 2) bounds that, and
+    # the pass totals ride the stdout line as a window-health spread so a
+    # drifted run self-identifies.
     cold: dict[str, float] = {}
-    warm1: dict[str, float] = {}
-    warm2: dict[str, float] = {}
-    for target in (cold, warm1, warm2):
+    warms: list[dict[str, float]] = [{}, {}, {}]
+    for target in (cold, *warms):
         for name in names:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             target[name] = round(time.perf_counter() - t0, 4)
-    timings = {n: min(warm1[n], warm2[n]) for n in names}
+    timings = {n: min(w[n] for w in warms) for n in names}
+    warm_totals = [sum(w.values()) for w in warms]
 
     # Cold-pass detail goes to stderr; stdout gets ONE compact JSON line —
     # the contract keys only, 2-decimal per-query values, no whitespace —
@@ -122,9 +134,9 @@ def main() -> None:
     # truncates long lines (round-1 parsing failure).
     print("cold pass: " + json.dumps({n: round(v, 3) for n, v in cold.items()}), file=sys.stderr)
     print(f"cold_total: {round(sum(cold.values()), 2)}", file=sys.stderr)
-    print(f"warm pass totals: {round(sum(warm1.values()), 2)} / {round(sum(warm2.values()), 2)}", file=sys.stderr)
+    print("warm pass totals: " + " / ".join(f"{t:.2f}" for t in warm_totals), file=sys.stderr)
     # Full-resolution record: the stdout line carries only the top-K +
-    # tier subtotals, so the complete per-query map (cold + both warm
+    # tier subtotals, so the complete per-query map (cold + all warm
     # passes + the min-of-warm headline) lands in a sidecar next to bench.py.
     with open(_SIDECAR, "w") as f:
         json.dump(
@@ -133,13 +145,12 @@ def main() -> None:
                 "total_s": round(sum(timings.values()), 2),
                 "queries": {n: round(v, 4) for n, v in timings.items()},
                 "cold": cold,
-                "warm1": warm1,
-                "warm2": warm2,
+                **{f"warm{i + 1}": w for i, w in enumerate(warms)},
             },
             f,
             indent=1,
         )
-    payload = build_payload(timings, sf)
+    payload = build_payload(timings, sf, warm_totals)
     os.write(real_stdout_fd, (payload + "\n").encode())
     os.close(real_stdout_fd)
 

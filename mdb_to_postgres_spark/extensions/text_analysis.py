@@ -1728,6 +1728,13 @@ def x_text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # profiles — at most |alphabet|^2 (bigram -> ppm) ints, reused across calls.
 _CHAR_LM_MODEL_CACHE: dict = {}
 
+# Map-literal scoring is only "map-only and cheap" while the model stays
+# alphabet²-small: element_at on create_map is a linear scan and the plan
+# literal grows with the model. Above this cap scoring switches to the
+# broadcast-join path (same integer lattice, bounded plan) — the guard for
+# unicode-rich corpora whose effective alphabet explodes the bigram space.
+_CHAR_LM_MAP_MAX = 4096
+
 
 @query(
     "x_text_char_lm_score",
@@ -1825,14 +1832,46 @@ def x_text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {r["bigram"]: r["p_ppm"] for r in model.collect()}
 
     ppm = session_cache_get(_CHAR_LM_MODEL_CACHE, spark, sf_dir, train_model)
-    pairs = [x for kv in sorted(ppm.items()) for x in kv] or ["", 0]
-    ppm_map = F.create_map(*[F.lit(x) for x in pairs])
     d = (
         T(spark, sf_dir, "documents")
         .filter(F.length("text") >= 2)
         .repartition(max(spark.sparkContext.defaultParallelism * 2, 8), "doc_id")
     )
     low = d.select("doc_id", F.lower("text").alias("low"))
+    if len(ppm) > _CHAR_LM_MAP_MAX:
+        # Unicode-rich corpus guard (round-9 ADVICE): create_map lookup is
+        # a LINEAR scan of the literal and the plan grows with |alphabet|^2,
+        # so above the cap the scoring falls back to the pre-r9 shape —
+        # explode per-doc bigram counts, broadcast-join the model DataFrame
+        # (hash lookup, bounded plan), aggregate the identical integer
+        # lattice. Bit-equal to the map-only path by construction
+        # (asserted in tests/test_round10_ops.py with the cap forced to 0).
+        model_df = spark.createDataFrame(
+            sorted(ppm.items()), "bigram string, p_ppm bigint"
+        )
+        bgc = (
+            low.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, length(low) - 2),"
+                        " i -> substring(low, i + 1, 2))"
+                    )
+                ).alias("bigram"),
+            )
+            .groupBy("doc_id", "bigram")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .join(F.broadcast(model_df), "bigram", "left")
+        )
+        n_bg = F.sum("cnt").cast("bigint")
+        psum = F.sum(F.coalesce(F.col("p_ppm"), F.lit(0)) * F.col("cnt")).cast("bigint")
+        return bgc.groupBy("doc_id").agg(
+            n_bg.alias("n_bigrams"),
+            psum.alias("ppm_sum"),
+            (psum.cast("double") / (n_bg * F.lit(1000000.0))).alias("mean_bigram_prob"),
+        )
+    pairs = [x for kv in sorted(ppm.items()) for x in kv] or ["", 0]
+    ppm_map = F.create_map(*[F.lit(x) for x in pairs])
     ppm_sum = F.aggregate(
         F.sequence(F.lit(1), F.length("low") - 1),
         F.lit(0).cast("bigint"),

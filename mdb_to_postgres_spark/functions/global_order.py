@@ -76,6 +76,12 @@ _DEFAULT_BUCKETS = 64
 # evicted like sources.tables.session_cache_get.
 _BUILD_CACHE: dict = {}
 _BUILD_MISSES = 0  # test hook: asserts warm calls skip the build jobs
+# LRU bound: each entry pins its input DataFrame (and through it the JVM
+# plan + any localCheckpoint blocks) for the session, so an unbounded memo
+# in a long-lived session sweeping many distinct (input, spec) pairs grows
+# driver memory without limit (round-9 ADVICE). 64 covers every substrate
+# the registry reaches several times over; an eviction costs one rebuild.
+_BUILD_CACHE_MAX = 64
 
 
 def _expr_str(c: Column) -> str:
@@ -100,12 +106,15 @@ def _build_memo(df: DataFrame, tag: tuple, build):
     for k in [k for k in _BUILD_CACHE if k[0] != app]:
         del _BUILD_CACHE[k]
     key = (app, df.semanticHash(), tag)
-    hit = _BUILD_CACHE.get(key)
+    hit = _BUILD_CACHE.pop(key, None)  # pop + re-insert = LRU move-to-end
     if hit is not None and df.sameSemantics(hit[0]):
+        _BUILD_CACHE[key] = hit
         return hit[1]
     _BUILD_MISSES += 1
     artifact = build()
     _BUILD_CACHE[key] = (df, artifact)
+    while len(_BUILD_CACHE) > _BUILD_CACHE_MAX:
+        del _BUILD_CACHE[next(iter(_BUILD_CACHE))]
     return artifact
 
 

@@ -57,6 +57,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # own session — so pin it here, not only in our session factory.
         spark.conf.set("spark.sql.ansi.enabled", "false")
         _CONF_DONE.add(app)
+    for k in [k for k in _DF_CACHE if k[0] != app]:  # stale-session eviction
+        del _DF_CACHE[k]
     key = (app, sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:

@@ -35,6 +35,21 @@ def _events_raw_schema(ts_is_long: bool) -> T.StructType:
     )
 
 
+def _src_sig(path: str) -> str:
+    """Identity of a staged source file: (mtime_ns, size). Stored INSIDE
+    the stage marker so a regenerated source invalidates the stage."""
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _read_marker(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (explicit schema, required
     for file streams and our extracted-schema discipline anyway)."""
@@ -49,7 +64,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".cache", tag, "events_stream_src",
     )
     target = os.path.join(stage, "events.parquet")
-    if not os.path.exists(target):
+    sig = os.path.join(os.path.dirname(stage), "events_stream_src.sig")
+    if not os.path.exists(target) or _read_marker(sig) != _src_sig(f"{sf_dir}/events.parquet"):
         os.makedirs(stage, exist_ok=True)
         # temp + atomic rename: a copy that dies mid-write must never leave
         # a partial file that later runs read as the complete table. The
@@ -58,6 +74,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(os.path.dirname(stage), "events_stream_src.parquet.tmp")
         shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
         os.replace(tmp, target)
+        with open(sig, "w") as f:
+            f.write(_src_sig(f"{sf_dir}/events.parquet"))
     from ..sources.tables import T as _scan
 
     ts_is_long = _scan(spark, sf_dir, "events").schema["ts"].dataType.simpleString() == "bigint"
@@ -83,9 +101,15 @@ def read_events_stream_sliced(
         ".cache", tag, f"events_stream_sliced_{n_slices}",
     )
     done = os.path.join(os.path.dirname(stage), f"events_stream_sliced_{n_slices}.done")
-    if not os.path.exists(done):
+    # The marker CONTENT carries the source file's (mtime_ns, size): a
+    # regenerated events.parquet at the same sf_dir invalidates the staged
+    # slices instead of silently replaying stale data into the eviction
+    # tests (round-9 ADVICE).
+    if _read_marker(done) != _src_sig(f"{sf_dir}/events.parquet"):
         import pyarrow.parquet as pq
 
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
         tbl = pq.read_table(f"{sf_dir}/events.parquet")
         order = tbl.column("ts").to_pandas().sort_values(kind="mergesort").index
         tbl = tbl.take(list(order))
@@ -104,7 +128,7 @@ def read_events_stream_sliced(
             # ordering explicit rather than racing the copy loop's clock
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(_src_sig(f"{sf_dir}/events.parquet"))
     from ..sources.tables import T as _scan
 
     ts_is_long = _scan(spark, sf_dir, "events").schema["ts"].dataType.simpleString() == "bigint"
@@ -196,6 +220,9 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         e.withWatermark("minute_ts", watermark)
         .dropDuplicates(["user_id", "event_type", "minute_ts"])
         .withColumn("minute_start", F.col("minute_ts").cast("long"))
+        # minute_ts is dedup plumbing; the output contract (matching the
+        # batch twin and the pre-r9 schema) ends at minute_start.
+        .drop("minute_ts")
     )
 
 

@@ -56,6 +56,18 @@ def test_tier_grouping():
     assert bench._tier("win_lag_lead") == "win"
 
 
+def test_payload_carries_window_health_spread():
+    timings = {"q1": 1.0}
+    line = bench.build_payload(timings, "0.1", [100.0, 140.0, 102.5])
+    parsed = json.loads(line)
+    assert parsed["warm_totals"] == [100.0, 140.0, 102.5]
+    assert parsed["spread_pct"] == 40.0  # (140-100)/100 — a drifted window
+    assert "\n" not in line and " " not in line
+    # without totals the keys are absent (back-compat with r1-r9 records)
+    parsed = json.loads(bench.build_payload(timings, "0.1"))
+    assert "warm_totals" not in parsed and "spread_pct" not in parsed
+
+
 def test_payload_handles_odd_sf_dir_names():
     parsed = json.loads(bench.build_payload({}, "custom-dir"))
     assert parsed["sf"] == "custom-dir"
