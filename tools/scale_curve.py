@@ -45,8 +45,10 @@ SUPER_LINEAR_RATIO = 12.0  # per 10x data; > this between sf1 and sf10 fails
 
 
 def main() -> int:
-    from mdb_to_postgres_spark.registry import QUERIES
+    from mdb_to_postgres_spark.registry import QUERIES, load_all
     from mdb_to_postgres_spark.session import get_session, tune_session
+
+    load_all()
 
     for _, path, _ in POINTS:
         if not os.path.exists(os.path.join(path, "lineitem.parquet")):
