@@ -163,7 +163,12 @@ def test_foreach_sink_matches_batch(spark):
 def test_stream_stateful_tws_converges(spark):
     """transformWithStateInPandas (Spark 4 stateful API) must converge to
     the same per-user counters as the batch aggregate and the
-    applyInPandasWithState form."""
+    applyInPandasWithState form — AND its state store must be KEY-sized,
+    not history-sized (the round-10 extension of the r9 eviction gate to
+    the TWS twin: lifetime counters never watermark-expire by design, so
+    the boundedness contract here is numRowsTotal == distinct keys — a
+    processor that buffers rows instead of folding into the ValueState
+    would show state ~ event count and die at production scale)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
@@ -177,7 +182,10 @@ def test_stream_stateful_tws_converges(spark):
         stream_df = runtime.stateful_user_counters_tws(
             runtime.read_events_stream(spark, ORACLE_SF)
         )
-        got = runtime.run_to_memory(spark, stream_df, "t_tws", "update").toPandas()
+        got, progresses = runtime.run_to_memory_with_progress(
+            spark, stream_df, "t_tws", "update"
+        )
+        got = got.toPandas()
     except Exception as e:  # pragma: no cover - environment guard ONLY
         if "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in str(e):
             pytest.skip(f"TWS runner failed to initialize: {str(e)[:200]}")
@@ -187,6 +195,16 @@ def test_stream_stateful_tws_converges(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    state_totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    n_users = got["user_id"].nunique()
+    assert state_totals, "TWS reported no state accounting"
+    assert state_totals[-1] == n_users, (
+        f"TWS state {state_totals[-1]} != {n_users} keys — state is not key-bounded"
+    )
     final = got.groupby("user_id").last().reset_index()
     want = (
         QUERIES["stream_stateful_count"](spark, ORACLE_SF)
