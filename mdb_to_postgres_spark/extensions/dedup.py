@@ -525,9 +525,15 @@ def _minhash_bands(sh: DataFrame, h_col, band_sig) -> DataFrame:
     )
 
 
-def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact Jaccard over the candidate pairs only (never all-pairs)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+def _verify_jaccard(
+    sh: DataFrame, cand: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over the candidate pairs only (never all-pairs).
+    `sizes` (doc_id, sz) injects the shared pair-stats substrate's per-doc
+    set sizes when `sh` IS the corpus shingle index (doc_stats.sz is that
+    same distinct-shingle count); standalone callers build it per call."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -584,7 +590,8 @@ def _minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(sh, cand)
+    _, doc_stats = doc_pair_stats(spark, sf_dir)
+    return _verify_jaccard(sh, cand, sizes=doc_stats.select("doc_id", "sz"))
 
 
 @query("x_dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -665,7 +672,8 @@ def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verify_jaccard(sh, cand)
+    _, doc_stats = doc_pair_stats(spark, sf_dir)
+    return _verify_jaccard(sh, cand, sizes=doc_stats.select("doc_id", "sz"))
 
 
 @query("x_dedup_minhash_lsh_xxh")  # rows-only: xxhash64 has no DuckDB twin
@@ -1556,9 +1564,15 @@ def x_dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream shape with the threshold filter REMOVED (the whole point);
     the result is 10 rows regardless of corpus size, and at 100 TB the
     same curve is computed on the md5-band sample (agg_sampled_estimate)
-    rather than every pair."""
+    rather than every pair.
+
+    Per-doc sizes ride the shared pair-stats substrate (doc_pair_stats
+    — this is its third consumer; doc_stats.sz IS the distinct-shingle
+    count, bit-equal by construction and A/B-verified), so the per-call
+    work is the match stream + band aggregation only."""
     sh = doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    _, doc_stats = doc_pair_stats(spark, sf_dir)
+    sizes = doc_stats.select("doc_id", "sz")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -1652,7 +1666,10 @@ def join_bucketed_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(doc_shingles(spark, sf_dir), cand)
+    _, doc_stats = doc_pair_stats(spark, sf_dir)
+    return _verify_jaccard(
+        doc_shingles(spark, sf_dir), cand, sizes=doc_stats.select("doc_id", "sz")
+    )
 
 
 @query(
