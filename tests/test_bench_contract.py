@@ -72,3 +72,22 @@ def test_payload_handles_odd_sf_dir_names():
     parsed = json.loads(bench.build_payload({}, "custom-dir"))
     assert parsed["sf"] == "custom-dir"
     assert parsed["value"] == 0
+
+
+def test_scale_curve_record_has_no_super_linear_query():
+    """The committed three-point scale record (tools/scale_curve.py,
+    round 10) must keep an empty super_linear list — if a rerun ever
+    flags one, the regression is in the record where the next session
+    will trip over it, not only in a transcript."""
+    path = os.path.join(os.path.dirname(bench.__file__), "bench_scale_curve.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no scale-curve record on this tree")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["summary"]["super_linear"] == []
+    # three points, monotone totals (more data never takes less time)
+    t = rec["summary"]["totals"]
+    assert list(t) == ["sf0.1", "sf1", "sf10"]
+    assert t["sf0.1"] < t["sf1"] < t["sf10"]
