@@ -447,8 +447,15 @@ def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
+      -- Spark's session merge is INCLUSIVE of a touching boundary: an
+      -- event at exactly max(previous ts+gap) joins the running session
+      -- (same rule the fixed-gap oracle above encodes with "> 1800"),
+      -- so only a STRICTLY later event starts a new one. The >= form
+      -- passed at sf0.01 only because no touching boundary existed
+      -- there; sf0.1 produced one (user 511) and the multi-sf sweep
+      -- caught it (round 10).
       SELECT user_id, ts_sec, gap,
-             CASE WHEN ts_sec >= MAX(ts_sec + gap) OVER (
+             CASE WHEN ts_sec > MAX(ts_sec + gap) OVER (
                     PARTITION BY user_id ORDER BY ts_sec
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 1 ELSE 0 END AS new_session
@@ -474,11 +481,13 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature fixed-gap sessionization can't express: think checkout flows
     whose timeout differs by page type). The oracle reproduces Spark's
     merge rule from first principles as an interval merge: a new session
-    starts exactly when an event's time reaches the running max of
-    previous (ts + gap) ends; a touching boundary ([a,b) then b) does NOT
-    merge. Events are second-truncated (ts_sec) so both engines bin
-    identically. Runs incrementally under Structured Streaming with the
-    same expression."""
+    starts exactly when an event's time passes STRICTLY beyond the
+    running max of previous (ts + gap) ends; a touching boundary
+    ([a,b) then b) DOES merge — verified against the engine at sf0.1,
+    where the one touching case split under the previous >= reading and
+    the multi-sf oracle sweep caught it. Events are second-truncated
+    (ts_sec) so both engines bin identically. Runs incrementally under
+    Structured Streaming with the same expression."""
     e = _events(spark, sf_dir)
     gap = F.when(F.col("event_type") == "error", "3600 seconds").otherwise("1800 seconds")
     return (
