@@ -53,9 +53,12 @@ def main() -> None:
         qs = {n: f for n, f in qs.items() if n in only or any(s in n for s in only)}
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+        # a table may be a single file (driver testdata) or a directory of
+        # part files (the scale_corpus replicas) — glob the latter
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     t_start = time.perf_counter()
     results: dict[str, dict] = {}
