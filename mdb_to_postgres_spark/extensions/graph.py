@@ -45,7 +45,11 @@ def _sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The Jaccard pair query body, reusable as a CTE prefix: (doc_a, doc_b,
 # jaccard) with doc_a < doc_b.
-_PAIRS_CTE = f"pairs AS ({_JACCARD_ORACLE})"
+# MATERIALIZED: DuckDB otherwise re-evaluates the (expensive) pair-list
+# CTE for EVERY reference — the unrolled 3-iteration PageRank oracle
+# references it enough times to spill >75 GB of temp at the 10x replica
+# (round-10 finding). Same results, evaluated once.
+_PAIRS_CTE = f"pairs AS MATERIALIZED ({_JACCARD_ORACLE})"
 
 
 def _pagerank_oracle() -> str:
