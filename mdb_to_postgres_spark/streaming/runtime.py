@@ -36,10 +36,35 @@ def _events_raw_schema(ts_is_long: bool) -> T.StructType:
 
 
 def _src_sig(path: str) -> str:
-    """Identity of a staged source file: (mtime_ns, size). Stored INSIDE
-    the stage marker so a regenerated source invalidates the stage."""
+    """Identity of a staged source: (mtime_ns, size) for a single-file
+    table; for a directory table (the scale_corpus replicas write
+    Spark-style part-file directories) the same pair per part file,
+    hashed. A directory's own stat is NOT content identity — parts can
+    be rewritten without touching the dir mtime. Stored INSIDE the stage
+    marker so a regenerated source invalidates the stage."""
+    if os.path.isdir(path):
+        import hashlib
+
+        sigs = []
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                st = os.stat(os.path.join(path, f))
+                sigs.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        return hashlib.md5("|".join(sigs).encode()).hexdigest()
     st = os.stat(path)
     return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _src_parts(path: str) -> list[str]:
+    """The physical parquet files of a source table: [path] for a
+    single-file table, the sorted part files for a directory table."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return [path]
 
 
 def _read_marker(path: str) -> str | None:
@@ -55,27 +80,33 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for file streams and our extracted-schema discipline anyway)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file stream source requires a directory; stage the single-file
-    # table into one (per-sf cache). In production this is the landing
+    # The file stream source requires a directory; stage the table's
+    # file(s) into one (per-sf cache). Handles both the driver's
+    # single-file tables and the scale replicas' part-file directories —
+    # the latter hit IsADirectoryError under the old copyfile form
+    # (found by the sf1 oracle sweep). In production this is the landing
     # directory micro-batches arrive in.
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     stage = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache", tag, "events_stream_src",
     )
-    target = os.path.join(stage, "events.parquet")
+    src = f"{sf_dir}/events.parquet"
     sig = os.path.join(os.path.dirname(stage), "events_stream_src.sig")
-    if not os.path.exists(target) or _read_marker(sig) != _src_sig(f"{sf_dir}/events.parquet"):
+    if not os.path.isdir(stage) or _read_marker(sig) != _src_sig(src):
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
         os.makedirs(stage, exist_ok=True)
-        # temp + atomic rename: a copy that dies mid-write must never leave
-        # a partial file that later runs read as the complete table. The
-        # temp lives OUTSIDE the watched directory so the file-stream
+        # temp + atomic rename per part: a copy that dies mid-write must
+        # never leave a partial file that later runs read as complete.
+        # The temp lives OUTSIDE the watched directory so the file-stream
         # source can never glob it.
-        tmp = os.path.join(os.path.dirname(stage), "events_stream_src.parquet.tmp")
-        shutil.copyfile(f"{sf_dir}/events.parquet", tmp)
-        os.replace(tmp, target)
+        for i, part in enumerate(_src_parts(src)):
+            tmp = os.path.join(os.path.dirname(stage), "events_stream_src.parquet.tmp")
+            shutil.copyfile(part, tmp)
+            os.replace(tmp, os.path.join(stage, f"events_{i:04d}.parquet"))
         with open(sig, "w") as f:
-            f.write(_src_sig(f"{sf_dir}/events.parquet"))
+            f.write(_src_sig(src))
     from ..sources.tables import T as _scan
 
     ts_is_long = _scan(spark, sf_dir, "events").schema["ts"].dataType.simpleString() == "bigint"

@@ -425,3 +425,43 @@ def test_windowed_join_runtime_equals_batch_and_evicts_state(spark):
     # state store (rows removed when the opposite watermark passed them)
     assert "numRowsRemoved" in join_op
     assert join_op["numRowsTotal"] >= 0
+
+
+def test_stream_stager_handles_directory_tables(spark, tmp_path):
+    # The scale replicas (tools/scale_corpus.py) write events.parquet as a
+    # DIRECTORY of part files; the file-stream stager must stage every
+    # part, not copyfile the path (IsADirectoryError — found by the sf1
+    # oracle sweep). Build a tiny directory-table sf_dir by splitting the
+    # oracle corpus in two, then check the staged stream equals the batch
+    # GROUP BY.
+    import os
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(ORACLE_SF, "events.parquet"))
+    ev_dir = tmp_path / "events.parquet"
+    ev_dir.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(ev_dir / "part-00000.parquet"))
+    pq.write_table(tbl.slice(half), str(ev_dir / "part-00001.parquet"))
+
+    sig1 = runtime._src_sig(str(ev_dir))
+    assert runtime._src_sig(str(ev_dir)) == sig1  # stable
+    assert len(runtime._src_parts(str(ev_dir))) == 2
+    # rewriting a part changes the signature even if the dir stat doesn't
+    pq.write_table(tbl.slice(half, 1), str(ev_dir / "part-00001.parquet"))
+    assert runtime._src_sig(str(ev_dir)) != sig1
+    pq.write_table(tbl.slice(half), str(ev_dir / "part-00001.parquet"))
+
+    stream_df = (
+        runtime.read_events_stream(spark, str(tmp_path))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("event_cnt"))
+    )
+    got = runtime.run_to_memory(spark, stream_df, "t_dirstage", "complete").toPandas()
+    want = (
+        spark.read.parquet(os.path.join(ORACLE_SF, "events.parquet"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("event_cnt"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
