@@ -196,13 +196,34 @@ _S1 = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
 _S2 = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
 _N = "CAST(COUNT(o_totalprice) AS DOUBLE)"
 _VAR = f"(({_S2}) - ({_S1}) * ({_S1}) / ({_N})) / (({_N}) - 1)"
-_SK = "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)"
-_SKK = "CAST(SUM(CAST(o_custkey AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)"
-_SPK = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)"
+# Correlation on the INTEGER lattice, end to end. The old form cast each
+# decimal moment to DOUBLE first and did N*Σxy - Σx*Σy in floating point;
+# with corr(price, custkey) ~ 0 that subtraction is catastrophic
+# cancellation, and at the 10x replica's key magnitudes a 1-ULP
+# decimal->double conversion difference between engines amplified past
+# the comparator's %.9g lattice (sf1 sweep finding — sf0.1 and below
+# never exposed it). Here every product and both cancellative
+# subtractions are exact integer arithmetic on the cents/key lattice —
+# Spark DECIMALs stay inside the 38-digit cap with scale 0 (no rounding,
+# overflow would null, not drift), DuckDB's <=38-digit decimals are
+# hugeint-backed — and only the three final scalars cross to DOUBLE,
+# where a conversion ULP is 1e-16 relative, invisible at %.9g. Widths
+# carry headroom through the 100x replica (price_cents < 1e9,
+# custkey < 1e10, rows per group < 1e9).
+_XC = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(9,0))"
+_YK = "CAST(o_custkey AS DECIMAL(10,0))"
+_NI = "CAST(COUNT(o_totalprice) AS DECIMAL(9,0))"
+# width 19 (not 16): DuckDB executes products of <=18-digit decimals in
+# int64 and overflows on sx*sx; >18 digits forces its hugeint kernel.
+_SXI = f"CAST(SUM({_XC}) AS DECIMAL(19,0))"
+_SYI = f"CAST(SUM({_YK}) AS DECIMAL(19,0))"
+_SXYI = f"CAST(SUM({_XC} * {_YK}) AS DECIMAL(28,0))"
+_SXXI = f"CAST(SUM({_XC} * {_XC}) AS DECIMAL(28,0))"
+_SYYI = f"CAST(SUM({_YK} * {_YK}) AS DECIMAL(28,0))"
 _CORR = (
-    f"(({_N}) * ({_SPK}) - ({_S1}) * ({_SK}))"
-    f" / (SQRT(({_N}) * ({_S2}) - ({_S1}) * ({_S1}))"
-    f" * SQRT(({_N}) * ({_SKK}) - ({_SK}) * ({_SK})))"
+    f"CAST(({_NI}) * ({_SXYI}) - ({_SXI}) * ({_SYI}) AS DOUBLE)"
+    f" / (SQRT(CAST(({_NI}) * ({_SXXI}) - ({_SXI}) * ({_SXI}) AS DOUBLE))"
+    f" * SQRT(CAST(({_NI}) * ({_SYYI}) - ({_SYI}) * ({_SYI}) AS DOUBLE)))"
 )
 
 

@@ -74,6 +74,13 @@ def main() -> None:
                 row["rows_match"] = len(sdf) == len(odf)
                 row["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
                 row["hash_match"] = vhash(sdf) == vhash(odf)
+                if not row["hash_match"]:
+                    # Preserve the evidence: a flipped query re-run
+                    # standalone often passes (sweep-order effects are a
+                    # real failure class), so the mismatching frames must
+                    # survive the run for post-mortem.
+                    sdf.head(20000).to_csv(f"/tmp/driver_sim_fail_{name}_spark.csv", index=False)
+                    odf.head(20000).to_csv(f"/tmp/driver_sim_fail_{name}_oracle.csv", index=False)
             else:
                 # The real driver canonicalizes rows-only results too (its
                 # round-4 decode_stub row crashed INSIDE _canon), so take
