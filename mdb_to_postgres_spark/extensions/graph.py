@@ -444,6 +444,14 @@ _LPA_ROUNDS = 3
 
 
 def _lpa_oracle() -> str:
+    # MATERIALIZED on co/edges/l0 and every l{k}: each label table is
+    # referenced twice by the next round's cand (join + union) and twice
+    # at the end (final select + sizes), so DuckDB's default lazy CTEs
+    # re-evaluate the entire prefix per reference — 2^rounds copies of
+    # the heavy li self-join. At the 10x replica that ran 570-840 s and
+    # died as a resource artifact (both sf1 sweeps, old AND new Spark
+    # side) — the same failure mode the pagerank oracle hit with the
+    # similarity-pairs CTE. Same results, evaluated once per table.
     rounds = []
     prev = "l0"
     for k in range(1, _LPA_ROUNDS + 1):
@@ -453,7 +461,7 @@ def _lpa_oracle() -> str:
       UNION ALL SELECT node, lab FROM {prev}
     ),
     cnt{k} AS (SELECT node, lab, COUNT(*) AS c FROM cand{k} GROUP BY node, lab),
-    l{k} AS (
+    l{k} AS MATERIALIZED (
       SELECT node, lab FROM (
         SELECT node, lab,
                ROW_NUMBER() OVER (PARTITION BY node
@@ -464,16 +472,16 @@ def _lpa_oracle() -> str:
         prev = f"l{k}"
     return f"""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    co AS (
+    co AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
     ),
-    edges AS (SELECT pa AS src, pb AS dst FROM co
+    edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM co
               UNION ALL SELECT pb, pa FROM co),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
-    l0 AS (SELECT node, node AS lab FROM nodes),
+    l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
     {", ".join(rounds)},
     sizes AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
               FROM {prev} GROUP BY lab)

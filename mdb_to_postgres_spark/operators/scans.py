@@ -1332,7 +1332,18 @@ def etl_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     position from the write order's sort key (orders.parquet is written
     sorted by o_orderkey — verified identical to file_row_number at
     every sf) — two engines agreeing on lineage from independent
-    derivations is the point of the check."""
+    derivations is the point of the check.
+
+    Layout caveat (sf1 sweep finding, expected): physical lineage is
+    layout-DEPENDENT by design — on a multi-part directory table (the
+    scale replicas) Spark reports per-part (file_name, row_index) and
+    produces one manifest row per (part, bucket), while this oracle can
+    only state the single-file layout. The oracle compare is therefore
+    valid at single-file layouts (the driver's testdata, every sf) and
+    structurally inexpressible on directory tables; re-ingest
+    re-derivability — the production property — holds at any layout
+    because a fixed layout always re-reads to the same (file, offset)
+    pairs."""
     src = tbl(spark, sf_dir, "orders").select(
         F.col("_metadata.file_name").alias("file_name"),
         F.col("_metadata.row_index").cast("bigint").alias("ri"),

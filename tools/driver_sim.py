@@ -52,6 +52,14 @@ def main() -> None:
     if only is not None:
         qs = {n: f for n, f in qs.items() if n in only or any(s in n for s in only)}
     con = duckdb.connect()
+    # Bound the oracle: DuckDB's default memory_limit is 80% of RAM, and
+    # a 24 g Spark driver + an unbounded DuckDB on the same box is how
+    # the sf1 sweep's heavy-CTE oracles died (pagerank round 10, LPA this
+    # session) and how late-run memory pressure can poison neighbors.
+    # With an explicit limit DuckDB spills to disk instead of fighting
+    # the JVM for the last gigabytes.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads=16")
     for t in TABLES:
         # a table may be a single file (driver testdata) or a directory of
         # part files (the scale_corpus replicas) — glob the latter
