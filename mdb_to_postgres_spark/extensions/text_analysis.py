@@ -558,8 +558,8 @@ def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c.bn AS DOUBLE) / u.un), 6)
-                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           CAST(SUM(CAST(ROUND(LN(CAST(c.bn AS DOUBLE) / u.un), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
              AS avg_logprob
     FROM bg g
     JOIN bc c USING (bigram)
@@ -606,7 +606,14 @@ def x_text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+        # NO final round: the decimal sum is exact and a single IEEE
+        # division is bit-identical on both engines, while rounding the
+        # quotient is tie-prone — at sf10 one doc's avg landed at
+        # x.xxxxxx49999…8 and Spark's round (via Double.toString's
+        # shortest repr "…5") went up where DuckDB's binary round went
+        # down. The per-bigram 6-decimal lattice above stays — that is
+        # where cross-libm LN variance is absorbed.
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob"),
     )
 
 
@@ -1512,13 +1519,14 @@ def x_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked WHERE rnk <= 1000
     ),
     m AS (
-      SELECT COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+      SELECT CAST(COUNT(*) AS DECIMAL(9,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(28,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(28,0)) AS sxx
       FROM pts
     )
-    SELECT n,
+    SELECT CAST(n AS BIGINT) AS n,
            CAST(n * sxy - sx * sy AS DOUBLE)
              / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
     FROM m
@@ -1559,16 +1567,22 @@ def x_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log(F.col("rnk").cast("double")) * 1000000).cast("bigint").alias("x"),
         F.floor(F.log(F.col("tf").cast("double")) * 1000000).cast("bigint").alias("y"),
     )
+    # Moment combination on exact DECIMALs, not BIGINT: at the 100x
+    # replica n*sxy reaches ~5e19 — DuckDB's int64 raises loudly but
+    # Spark's non-ANSI BIGINT would WRAP SILENTLY (sf10 sweep finding).
+    # Widths mirror the agg_stats corr lattice: products stay <= 38
+    # digits (exact in Spark's cap and DuckDB's hugeint-backed
+    # decimals), and only the two final scalars cross to DOUBLE.
     m = pts.agg(
-        F.count("*").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.count("*").cast("decimal(9,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(28,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(28,0)").alias("sxx"),
     )
     n = F.col("n")
     return m.select(
-        "n",
+        n.cast("bigint").alias("n"),
         (
             (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
