@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -22,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (AQE coalesces below this anyway). Respect an explicit override.
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 
-from mdb_to_postgres_spark import registry  # noqa: E402
+from mdb_to_postgres_spark import registry, scratch  # noqa: E402
 from mdb_to_postgres_spark.session import get_session  # noqa: E402
 
 # Queries that exist to exercise a surface (round-trips, streaming engine,
@@ -50,7 +52,10 @@ def _tier(name: str) -> str:
 
 
 def build_payload(
-    timings: dict[str, float], sf: str, warm_totals: list[float] | None = None
+    timings: dict[str, float],
+    sf: str,
+    warm_totals: list[float] | None = None,
+    disk: dict[str, float] | None = None,
 ) -> str:
     """The ONE stdout line the driver parses. Rounds 1-6 all recorded
     "parsed": null because the full per-query map (~8-10 KB at 300+
@@ -86,6 +91,13 @@ def build_payload(
         payload["warm_totals"] = [round(t, 2) for t in warm_totals]
         lo = min(warm_totals)
         payload["spread_pct"] = round(100.0 * (max(warm_totals) - lo) / lo, 1) if lo else 0.0
+    if disk:
+        # Scratch-space health record (round-10 verdict item 1b): the r10
+        # driver bench died on ENOSPC mid-shuffle, so the line now carries
+        # free-GB before/after plus how many stale scratch dirs the startup
+        # sweep reclaimed — a run that is about to hit disk pressure
+        # self-identifies in the ledger.
+        payload["disk"] = disk
     return json.dumps(payload, separators=(",", ":"))
 
 
@@ -101,6 +113,18 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    # Scratch hygiene before the JVM launches (round-10 verdict item 1):
+    # (a) reclaim scratch dirs stranded by killed prior processes — the
+    # driver runs phases sequentially, so anything older than a minute is
+    # dead; (b) route this run's shuffle/spill into a dedicated dir that
+    # the atexit sweep removes even if the bench itself crashes; (c) record
+    # free space so an ENOSPC-bound run is visible in the ledger.
+    swept = scratch.sweep_stale(min_age_sec=60)
+    local_dir = scratch.scratch_dir("mdbspark_localdir_")
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", local_dir)
+    free_pre_gb = shutil.disk_usage(tempfile.gettempdir()).free / 1e9
+
     spark = get_session("mdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -150,7 +174,12 @@ def main() -> None:
             f,
             indent=1,
         )
-    payload = build_payload(timings, sf, warm_totals)
+    disk = {
+        "free_pre_gb": round(free_pre_gb, 1),
+        "free_post_gb": round(shutil.disk_usage(tempfile.gettempdir()).free / 1e9, 1),
+        "stale_swept": swept,
+    }
+    payload = build_payload(timings, sf, warm_totals, disk)
     os.write(real_stdout_fd, (payload + "\n").encode())
     os.close(real_stdout_fd)
 

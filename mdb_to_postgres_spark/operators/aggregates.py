@@ -217,9 +217,15 @@ _NI = "CAST(COUNT(o_totalprice) AS DECIMAL(9,0))"
 # int64 and overflows on sx*sx; >18 digits forces its hugeint kernel.
 _SXI = f"CAST(SUM({_XC}) AS DECIMAL(19,0))"
 _SYI = f"CAST(SUM({_YK}) AS DECIMAL(19,0))"
-_SXYI = f"CAST(SUM({_XC} * {_YK}) AS DECIMAL(28,0))"
-_SXXI = f"CAST(SUM({_XC} * {_XC}) AS DECIMAL(28,0))"
-_SYYI = f"CAST(SUM({_YK} * {_YK}) AS DECIMAL(28,0))"
+# width 29: the documented worst case (per-row product < 1e19, rows per
+# group < 1e9, and custkey^2 < 1e20 only in the _SYYI term whose per-group
+# bound is 1e20*1e9 = 1e29) needs 29 digits — at 28, Spark's non-ANSI CAST
+# would null-wrap silently right where the exactness argument matters
+# (round-10 ADVICE). n * sxy stays 9 + 29 = 38 digits: still inside both
+# engines' exact-decimal cap.
+_SXYI = f"CAST(SUM({_XC} * {_YK}) AS DECIMAL(29,0))"
+_SXXI = f"CAST(SUM({_XC} * {_XC}) AS DECIMAL(29,0))"
+_SYYI = f"CAST(SUM({_YK} * {_YK}) AS DECIMAL(29,0))"
 _CORR = (
     f"CAST(({_NI}) * ({_SXYI}) - ({_SXI}) * ({_SYI}) AS DOUBLE)"
     f" / (SQRT(CAST(({_NI}) * ({_SXXI}) - ({_SXI}) * ({_SXI}) AS DOUBLE))"

@@ -53,6 +53,13 @@ def get_session(app_name: str = "mdb-to-postgres-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
     )
+    # Optional dedicated scratch root for shuffle/spill files (static conf,
+    # only effective when this factory launches the JVM). bench.py points
+    # this at an atexit-swept scratch dir so a crashed/killed run cannot
+    # strand gigabytes of spill in the shared tmp (round-10 ENOSPC class).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return build_conf(builder).getOrCreate()
 
 

@@ -15,24 +15,26 @@ identifier sanitization is tier-R surface (operators/projection.py).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import jdbc
 from ..sources.tables import T
 
 # One scratch Derby database per (process, sf_dir); reused across calls so
-# repeated driver invocations don't pile up databases.
+# repeated driver invocations don't pile up databases. The dir is
+# registered with the scratch sweeper: removed at interpreter exit, and a
+# killed process's leftovers are cleared by the next harness startup.
 _DB_DIRS: dict[str, str] = {}
 
 
 def _derby_url(sf_dir: str) -> str:
     d = _DB_DIRS.get(sf_dir)
     if d is None:
-        d = _DB_DIRS[sf_dir] = tempfile.mkdtemp(prefix="mdbspark_derby_")
+        d = _DB_DIRS[sf_dir] = scratch_dir("mdbspark_derby_")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     return f"jdbc:derby:{d}/db_{tag};create=true"
 

@@ -11,12 +11,13 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..scratch import release, scratch_dir
 
 # File-stream schema factory: the corpus has shipped ts as BIGINT nanos in
 # one generation and TIMESTAMP(US) NTZ in another, so the explicit schema a
@@ -41,15 +42,16 @@ def _src_sig(path: str) -> str:
     Spark-style part-file directories) the same pair per part file,
     hashed. A directory's own stat is NOT content identity — parts can
     be rewritten without touching the dir mtime. Stored INSIDE the stage
-    marker so a regenerated source invalidates the stage."""
+    marker so a regenerated source invalidates the stage. Delegates part
+    enumeration to _src_parts so an empty directory layout raises here
+    too, before any stage marker is written."""
     if os.path.isdir(path):
         import hashlib
 
         sigs = []
-        for f in sorted(os.listdir(path)):
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                st = os.stat(os.path.join(path, f))
-                sigs.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        for p in _src_parts(path):
+            st = os.stat(p)
+            sigs.append(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}")
         return hashlib.md5("|".join(sigs).encode()).hexdigest()
     st = os.stat(path)
     return f"{st.st_mtime_ns}:{st.st_size}"
@@ -57,14 +59,40 @@ def _src_sig(path: str) -> str:
 
 def _src_parts(path: str) -> list[str]:
     """The physical parquet files of a source table: [path] for a
-    single-file table, the sorted part files for a directory table."""
+    single-file table, the sorted part files for a directory table.
+
+    A directory that yields ZERO parts (nested layout, Hive partitioning,
+    non-parquet contents) raises instead of silently staging an empty
+    stream source — an unexpected layout must fail loudly, not return an
+    empty result (round-10 ADVICE)."""
     if os.path.isdir(path):
-        return sorted(
+        parts = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
+        if not parts:
+            raise ValueError(
+                f"directory table {path!r} contains no top-level *.parquet "
+                "part files — nested/Hive-partitioned layouts are not "
+                "supported by the file-stream stager"
+            )
+        return parts
     return [path]
+
+
+def _stage_root() -> str:
+    """Base directory for staged stream sources: the repo-level .cache by
+    default, overridable via MDBSPARK_STAGE_ROOT (tests point it at a
+    tmp_path so per-run stages don't accumulate in the project cache —
+    round-10 ADVICE)."""
+    env = os.environ.get("MDBSPARK_STAGE_ROOT")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+    )
 
 
 def _read_marker(path: str) -> str | None:
@@ -87,10 +115,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (found by the sf1 oracle sweep). In production this is the landing
     # directory micro-batches arrive in.
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache", tag, "events_stream_src",
-    )
+    stage = os.path.join(_stage_root(), tag, "events_stream_src")
     src = f"{sf_dir}/events.parquet"
     sig = os.path.join(os.path.dirname(stage), "events_stream_src.sig")
     if not os.path.isdir(stage) or _read_marker(sig) != _src_sig(src):
@@ -127,10 +152,7 @@ def read_events_stream_sliced(
     (read_events_stream's single staged file collapses to one data batch:
     correct for result parity, blind to state-lifetime bugs.)"""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache", tag, f"events_stream_sliced_{n_slices}",
-    )
+    stage = os.path.join(_stage_root(), tag, f"events_stream_sliced_{n_slices}")
     done = os.path.join(os.path.dirname(stage), f"events_stream_sliced_{n_slices}.done")
     # The marker CONTENT carries the source file's (mtime_ns, size): a
     # regenerated events.parquet at the same sf_dir invalidates the staged
@@ -182,18 +204,24 @@ def run_to_memory_with_progress(
     """run_to_memory + the per-micro-batch StreamingQueryProgress list —
     the state-store accounting (numRowsTotal / numRowsRemoved per
     operator per batch) tests need to assert eviction."""
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    progresses = list(q.recentProgress)
-    return spark.table(name), progresses
+    # availableNow one-shot: nothing needs the checkpoint after return, so
+    # it is released eagerly — leaked ckpt dirs are the pressure class
+    # behind round 10's ENOSPC bench crash (VERDICT r10 "What's wrong" #1).
+    ckpt = scratch_dir(f"ckpt_{name}_")
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = list(q.recentProgress)
+        return spark.table(name), progresses
+    finally:
+        release(ckpt)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -260,17 +288,20 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a bounded stream (availableNow) into an in-memory sink and
     return the final static result. Test harness helper."""
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    ckpt = scratch_dir(f"ckpt_{name}_")  # one-shot: released after the run
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        release(ckpt)
 
 
 def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +312,10 @@ def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type counts as parquet (overwrite per batch = complete-mode
     idempotence) and the final sink contents are returned.
     """
-    sink = tempfile.mkdtemp(prefix="sink_counts_")
+    # The sink outlives this call (the returned DataFrame reads it
+    # lazily), so it stays registered for the atexit sweep instead of an
+    # eager release; the checkpoint is one-shot and released immediately.
+    sink = scratch_dir("sink_counts_")
     counts = (
         read_events_stream(spark, sf_dir)
         .groupBy("event_type")
@@ -291,15 +325,18 @@ def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(sink)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_foreach_")
-    q = (
-        counts.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = scratch_dir("ckpt_foreach_")
+    try:
+        q = (
+            counts.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        release(ckpt)
     return spark.read.parquet(sink)
 
 
@@ -469,11 +506,11 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and the final read filters them out. Overwrite-per-batch of the
     (user-count-sized) state table is the idempotent-restart pattern; a
     production sink does the same via JDBC/Delta MERGE."""
-    import tempfile as _tf
-
     from pyspark.sql.window import Window as _W
 
-    state_dir = _tf.mkdtemp(prefix="cdc_state_")
+    # State table outlives this call (the returned DataFrame reads `cur`
+    # lazily) -> atexit-swept, not eagerly released.
+    state_dir = scratch_dir("cdc_state_")
     state_cur = os.path.join(state_dir, "cur")
 
     ev = read_events_stream(spark, sf_dir).select(
@@ -512,15 +549,18 @@ def run_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(nxt, tmp_link)
         os.replace(tmp_link, state_cur)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
-    q = (
-        ev.writeStream.foreachBatch(merge_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = scratch_dir("ckpt_cdc_")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        release(ckpt)
     final = spark.read.parquet(state_cur)
     return final.filter(F.col("event_type") != "click").select(
         "user_id",

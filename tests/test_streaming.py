@@ -4,8 +4,6 @@ form; late-data watermark behavior exercised on hand-built input."""
 
 from __future__ import annotations
 
-import tempfile
-
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -104,11 +102,11 @@ def test_stream_stateful_counters_rocksdb_store(spark):
     assert (abs(merged.value_sum_got - merged.value_sum_want) < 1e-9).all()
 
 
-def test_watermark_drops_late_rows(spark):
+def test_watermark_drops_late_rows(spark, tmp_path):
     # Hand-built late-data scenario: batch 1 advances the watermark past
     # batch 2's stale event; the stale event must not create/refresh a
     # window in append-mode output.
-    src = tempfile.mkdtemp(prefix="late_src_")
+    src = str(tmp_path / "late_src")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     b1 = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")], "id: long, ts_s: string"
@@ -123,8 +121,8 @@ def test_watermark_drops_late_rows(spark):
     )
     # File sink: checkpoint-recoverable, so watermark state survives the
     # restart between the two availableNow phases (memory sinks do not).
-    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
-    out_dir = tempfile.mkdtemp(prefix="late_out_")
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
 
     def run_phase():
         q = (
@@ -393,16 +391,14 @@ def test_stream_stream_join_state_evicts_across_batches(spark):
     )
 
 
-def test_windowed_join_runtime_equals_batch_and_evicts_state(spark):
+def test_windowed_join_runtime_equals_batch_and_evicts_state(spark, tmp_path):
     # The multi-stateful pipeline (stream-stream join -> tumbling window)
     # must (a) reproduce the batch SQL exactly and (b) actually run BOTH
     # stateful operators under the engine with watermark-driven eviction
     # wired (state metrics present; join state bounded, not
     # grow-without-expiry).
-    import tempfile
-
     stream_df = runtime.windowed_join_counts(spark, ORACLE_SF)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_wjr_")
+    ckpt = str(tmp_path / "ckpt_wjr")
     q = (
         stream_df.writeStream.format("memory")
         .queryName("t_wjr")
@@ -427,7 +423,7 @@ def test_windowed_join_runtime_equals_batch_and_evicts_state(spark):
     assert join_op["numRowsTotal"] >= 0
 
 
-def test_stream_stager_handles_directory_tables(spark, tmp_path):
+def test_stream_stager_handles_directory_tables(spark, tmp_path, monkeypatch):
     # The scale replicas (tools/scale_corpus.py) write events.parquet as a
     # DIRECTORY of part files; the file-stream stager must stage every
     # part, not copyfile the path (IsADirectoryError — found by the sf1
@@ -436,6 +432,10 @@ def test_stream_stager_handles_directory_tables(spark, tmp_path):
     # GROUP BY.
     import os
     import pyarrow.parquet as pq
+
+    # Stage into tmp_path, not the repo .cache: per-run test stages must
+    # not accumulate in the project tree (round-10 ADVICE).
+    monkeypatch.setenv("MDBSPARK_STAGE_ROOT", str(tmp_path / "stage_root"))
 
     tbl = pq.read_table(os.path.join(ORACLE_SF, "events.parquet"))
     ev_dir = tmp_path / "events.parquet"
@@ -465,3 +465,51 @@ def test_stream_stager_handles_directory_tables(spark, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_stream_stager_rejects_empty_directory_layout(tmp_path):
+    # A directory table with no top-level part files (nested / Hive
+    # layout) must raise loudly, not stage an empty stream source that
+    # returns zero rows (round-10 ADVICE).
+    ev_dir = tmp_path / "events.parquet"
+    (ev_dir / "day=2024-01-01").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no top-level"):
+        runtime._src_parts(str(ev_dir))
+    with pytest.raises(ValueError, match="no top-level"):
+        runtime._src_sig(str(ev_dir))
+
+
+def test_scratch_registry_release_and_stale_sweep(tmp_path):
+    # scratch_dir registers; release removes + deregisters; sweep_stale
+    # removes only old dirs with known prefixes (round-10 verdict item 1).
+    import os
+    import time as _time
+
+    from mdb_to_postgres_spark import scratch
+
+    d = scratch.scratch_dir("ckpt_unit_")
+    assert os.path.isdir(d) and d in scratch._LIVE
+    scratch.release(d)
+    assert not os.path.exists(d) and d not in scratch._LIVE
+    scratch.release(d)  # idempotent
+
+    old = tmp_path / "ckpt_dead_run"  # markerless + old -> swept
+    young = tmp_path / "ckpt_young_run"  # markerless + young -> kept
+    live = tmp_path / "ckpt_live_owner"  # old but owner alive -> kept
+    dead = tmp_path / "ckpt_dead_owner"  # young but owner dead -> swept
+    other = tmp_path / "not_ours"  # foreign prefix -> never touched
+    for p in (old, young, live, dead, other):
+        p.mkdir()
+    (live / scratch._OWNER_MARKER).write_text(str(os.getpid()))
+    # find a dead pid: fork a child that exits immediately
+    child = os.fork()
+    if child == 0:
+        os._exit(0)
+    os.waitpid(child, 0)
+    (dead / scratch._OWNER_MARKER).write_text(str(child))
+    past = _time.time() - 7200
+    for p in (old, live, other):
+        os.utime(p, (past, past))
+    assert scratch.sweep_stale(str(tmp_path), min_age_sec=1800) == 2
+    assert not old.exists() and not dead.exists()
+    assert young.exists() and live.exists() and other.exists()

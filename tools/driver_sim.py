@@ -43,6 +43,14 @@ def main() -> None:
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
+    # Reclaim scratch dirs stranded by killed prior runs before launching
+    # the JVM (round-10 verdict item 1: leaked ckpt_* dirs + sf10 spill on
+    # one filesystem is the ENOSPC class that crashed the official bench).
+    from mdb_to_postgres_spark import scratch
+
+    swept = scratch.sweep_stale(min_age_sec=60)
+    if swept:
+        print(f"swept {swept} stale scratch dirs", file=sys.stderr)
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
