@@ -966,6 +966,16 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup clusters are tiny). The DuckDB oracle computes the same
     closure with a recursive CTE — exact match.
 
+    Scale shape per round (the LPA one-exchange pattern, transferred in
+    round 11): the edge list is exchanged by ``a`` ONCE up front
+    (repartition + localCheckpoint preserves the partitioning across
+    rounds), so each round only the THIN (node, label) side shuffles
+    into the join; the union of propagated + current labels is then
+    repartitioned by node once and the min-label aggregate runs
+    exchange-free on top (HashPartitioning on the grouping key
+    satisfies the clustering requirement). Same-session A/B at sf1:
+    see BASELINE.md round-11 anchors.
+
     The converged (doc_id, component_id) table is cached per (session, sf)
     — downstream consumers (x_dedup_canonical) reuse the materialized
     clusters instead of re-running the iteration, exactly as a production
@@ -982,18 +992,25 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pairs = x_dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    edges = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("a")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
     cur_sum = labels.agg(F.sum("label")).collect()[0][0]
     max_rounds = 50
     for rounds in range(1, max_rounds + 1):
-        prop = edges.join(labels, edges.a == labels.node).select(
-            F.col("b").alias("node"), "label"
-        )
+        prop = edges.join(
+            labels.select(F.col("node").alias("a"), "label"), "a"
+        ).select(F.col("b").alias("node"), "label")
         labels = (
-            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+            labels.unionByName(prop)
+            .repartition("node")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         ).localCheckpoint()
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == cur_sum:  # min-labels are monotone; equal sum = fixpoint

@@ -31,7 +31,33 @@ def _pg_up() -> bool:
         return False
 
 
-pytestmark = pytest.mark.skipif(not _pg_up(), reason="no local Postgres (peer auth) reachable")
+def _pg_up_or_start() -> bool:
+    """Best-effort start of the image's Postgres before deciding to skip,
+    so a driver-window pytest run exercises the live COPY sink instead of
+    skipping because nobody launched the server first (round-10 verdict
+    item 4). tools/start_postgres.sh is idempotent; failure to start
+    (minimal image, no server toolchain) falls back to the clean skip."""
+    if _pg_up():
+        return True
+    import os
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "start_postgres.sh",
+    )
+    try:
+        subprocess.run(
+            ["bash", script], capture_output=True, text=True, timeout=60
+        )
+    except Exception:
+        return False
+    return _pg_up()
+
+
+pytestmark = pytest.mark.skipif(
+    not _pg_up_or_start(), reason="no local Postgres (peer auth) reachable or startable"
+)
 
 
 def test_ddl_translation(spark):
