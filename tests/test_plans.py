@@ -438,6 +438,10 @@ _GLOBAL_WINDOW_TINY_OK = {
     "x_pack_curriculum",
     "x_text_vocab_coverage",
     "x_text_zipf_fit",
+    # round 11: the cumulative per-file offset runs as a global window
+    # over the (one row per part file) counts table — metadata-sized by
+    # construction, same class as global_order's boundary offsets.
+    "etl_row_lineage",
 }
 
 
@@ -667,9 +671,14 @@ def test_bootstrap_replicates_collapse_mapside(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_row_lineage_is_joinless_metadata_pass(spark):
+def test_row_lineage_joins_only_the_broadcast_offset_table(spark):
+    # Round-11 global-position form: the per-file offset table (one row
+    # per part file) rejoins the row stream as a BROADCAST — the full
+    # data path must never sort-merge or shuffle for the join, and the
+    # single-partition window runs only on the metadata-sized counts.
     plan = explain_str(QUERIES["etl_row_lineage"](spark, ORACLE_SF))
-    assert "Join" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
 

@@ -51,7 +51,16 @@ def main() -> None:
     swept = scratch.sweep_stale(min_age_sec=60)
     if swept:
         print(f"swept {swept} stale scratch dirs", file=sys.stderr)
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    # Plain session like the driver's, but with an explicit heap: Spark's
+    # 1g default survives sf0.01 (the driver's gate) yet OOMs on the sf10
+    # census's heavy tail (UNABLE_TO_ACQUIRE_MEMORY -> stopped context ->
+    # cascading ConnectionRefused for the rest of the sweep).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_SIM_MEM", "20g"))
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
