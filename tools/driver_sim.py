@@ -59,6 +59,12 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_SIM_MEM", "20g"))
+        # The 1g default maxResultSize aborts the driver-side collect of
+        # the big-output queries at sf10 (cast_types & co. return
+        # table-sized results) and the failed Arrow batch iterator then
+        # wedges the scheduler — raise it; the census compare IS a full
+        # result materialization by design.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_SIM_MAXRES", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -116,6 +122,12 @@ def main() -> None:
             row["err"] = f"{type(e).__name__}: {e}"[:200]
         row["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = row
+        # Incremental dump (atomic): a sweep killed by a timeout or a hung
+        # query keeps every completed row's evidence instead of losing the
+        # whole run's JSON.
+        with open("/tmp/driver_sim_results.json.tmp", "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace("/tmp/driver_sim_results.json.tmp", "/tmp/driver_sim_results.json")
         status = (
             "PASS" if row.get("hash_match")
             else ("rows-only" if row.get("err") == "no_oracle" else "FAIL")
