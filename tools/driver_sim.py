@@ -29,10 +29,33 @@ TABLES = [
 ]
 
 
+_MULTISET_THRESHOLD = 2_000_000
+
+
 def vhash(pdf) -> str:
     pdf = pdf[sorted(pdf.columns)]
-    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-    return hashlib.md5(pdf.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+    if len(pdf) <= _MULTISET_THRESHOLD:
+        pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+        return hashlib.md5(pdf.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+    # Table-sized outputs (sf10 census): the driver-style global sort +
+    # one giant CSV string is O(n log n) and >3x frame memory — observed
+    # grinding a single 180M-row compare for 30+ minutes at 41 GB RSS.
+    # Chunked ORDER-INSENSITIVE multiset hash instead: same row
+    # serialization (sorted columns, %.9g floats), sum of per-row md5s
+    # mod 2^128. Multiset equality == sorted-CSV equality given
+    # rows_match checks cardinality separately; only the hash VALUE
+    # differs, flagged by the "multiset:" prefix so records are honest
+    # about which comparator ran.
+    total = 0
+    for i in range(0, len(pdf), 1_000_000):
+        csv = pdf.iloc[i : i + 1_000_000].to_csv(
+            index=False, header=False, float_format="%.9g"
+        )
+        for line in csv.splitlines():
+            total = (
+                total + int.from_bytes(hashlib.md5(line.encode()).digest(), "big")
+            ) % (1 << 128)
+    return f"multiset:{total:032x}"
 
 
 def main() -> None:
