@@ -115,8 +115,15 @@ def main() -> None:
     # session) and how late-run memory pressure can poison neighbors.
     # With an explicit limit DuckDB spills to disk instead of fighting
     # the JVM for the last gigabytes.
-    con.execute("SET memory_limit='24GB'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '16GB')}'"
+    )
     con.execute("SET threads=16")
+    # Give DuckDB somewhere to spill: without a temp_directory the bounded
+    # oracle fails with bad_alloc instead of spilling once the sweep's
+    # cumulative footprint (JVM + Arrow collects + buffer pool high-water)
+    # approaches the box — seen as 14 memory-error rows in one sf10 chunk.
+    con.execute("SET temp_directory='/tmp/duckdb_sim_spill'")
     for t in TABLES:
         # a table may be a single file (driver testdata) or a directory of
         # part files (the scale_corpus replicas) — glob the latter
@@ -179,6 +186,14 @@ def main() -> None:
             row["err"] = f"{type(e).__name__}: {e}"[:200]
         row["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = row
+        # Release the per-query frames before the next collect: at sf10 a
+        # single retained 20M-row frame is gigabytes, and peak overlap
+        # across iterations is what exhausted the process in the first
+        # sf10 chunk runs.
+        import gc
+
+        sdf = odf = sdf_lazy = None  # drop frame refs, then collect
+        gc.collect()
         # Incremental dump (atomic): a sweep killed by a timeout or a hung
         # query keeps every completed row's evidence instead of losing the
         # whole run's JSON.
