@@ -56,6 +56,7 @@ def build_payload(
     sf: str,
     warm_totals: list[float] | None = None,
     disk: dict[str, float] | None = None,
+    warm_passes: int | None = None,
 ) -> str:
     """The ONE stdout line the driver parses. Rounds 1-6 all recorded
     "parsed": null because the full per-query map (~8-10 KB at 300+
@@ -91,6 +92,10 @@ def build_payload(
         payload["warm_totals"] = [round(t, 2) for t in warm_totals]
         lo = min(warm_totals)
         payload["spread_pct"] = round(100.0 * (max(warm_totals) - lo) / lo, 1) if lo else 0.0
+        if warm_passes is not None and warm_passes > len(warm_totals):
+            # Spread retry fired: totals above are the kept (cleanest)
+            # windows; the dropped ones are in the sidecar.
+            payload["warm_passes"] = warm_passes
     if disk:
         # Scratch-space health record (round-10 verdict item 1b): the r10
         # driver bench died on ENOSPC mid-shuffle, so the line now carries
@@ -121,8 +126,11 @@ def main() -> None:
     # the atexit sweep removes even if the bench itself crashes; (c) record
     # free space so an ENOSPC-bound run is visible in the ledger.
     swept = scratch.sweep_stale(min_age_sec=60)
-    local_dir = scratch.scratch_dir("mdbspark_localdir_")
-    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", local_dir)
+    # Only allocate a scratch local.dir when the caller hasn't pinned one
+    # (round-11 advice: setdefault after an unconditional scratch_dir left
+    # an unused dir registered/swept and skewed the disk ledger's delta).
+    if not os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = scratch.scratch_dir("mdbspark_localdir_")
     free_pre_gb = shutil.disk_usage(tempfile.gettempdir()).free / 1e9
 
     spark = get_session("mdb-spark-bench")
@@ -149,6 +157,30 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             target[name] = round(time.perf_counter() - t0, 4)
+
+    def _spread(ws: list[dict[str, float]]) -> float:
+        totals = [sum(w.values()) for w in ws]
+        lo = min(totals)
+        return 100.0 * (max(totals) - lo) / lo if lo else 0.0
+
+    # Spread-triggered re-run (round-11 verdict item 2): this box shows
+    # whole warm WINDOWS drifting +10-40%; when the 3 warm passes spread
+    # beyond the ±5% house criterion, run up to 2 extra warm passes and
+    # keep the 3 cleanest (lowest-total) windows. The headline stays
+    # min-of-kept (== global min — the lowest 3 contain it); the full
+    # pass record, including dropped windows, lands in the sidecar, and
+    # the line carries warm_passes so a retried run self-identifies.
+    all_warms = list(warms)
+    extra_budget = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+    while _spread(sorted(all_warms, key=lambda w: sum(w.values()))[:3]) > 5.0 and extra_budget > 0:
+        extra_budget -= 1
+        w: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            w[name] = round(time.perf_counter() - t0, 4)
+        all_warms.append(w)
+    warms = sorted(all_warms, key=lambda w: sum(w.values()))[:3]
     timings = {n: min(w[n] for w in warms) for n in names}
     warm_totals = [sum(w.values()) for w in warms]
 
@@ -169,7 +201,9 @@ def main() -> None:
                 "total_s": round(sum(timings.values()), 2),
                 "queries": {n: round(v, 4) for n, v in timings.items()},
                 "cold": cold,
-                **{f"warm{i + 1}": w for i, w in enumerate(warms)},
+                "kept_passes": len(warms),
+                "total_warm_passes": len(all_warms),
+                **{f"warm{i + 1}": w for i, w in enumerate(all_warms)},
             },
             f,
             indent=1,
@@ -179,7 +213,7 @@ def main() -> None:
         "free_post_gb": round(shutil.disk_usage(tempfile.gettempdir()).free / 1e9, 1),
         "stale_swept": swept,
     }
-    payload = build_payload(timings, sf, warm_totals, disk)
+    payload = build_payload(timings, sf, warm_totals, disk, warm_passes=len(all_warms))
     os.write(real_stdout_fd, (payload + "\n").encode())
     os.close(real_stdout_fd)
 

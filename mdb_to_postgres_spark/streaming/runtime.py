@@ -315,7 +315,15 @@ def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The sink outlives this call (the returned DataFrame reads it
     # lazily), so it stays registered for the atexit sweep instead of an
     # eager release; the checkpoint is one-shot and released immediately.
+    # Batches land in a data/ SUBDIRECTORY of the registered dir: an
+    # overwrite straight into the registry dir would delete its
+    # .owner_pid liveness marker, leaving the live sink protected only by
+    # the mtime age guard — a concurrent harness startup sweep could then
+    # reclaim it out from under the lazily-read return value (the exact
+    # failure class the marker exists to prevent; cf. run_cdc_upsert's
+    # state_dir/b{id} layout).
     sink = scratch_dir("sink_counts_")
+    data_dir = os.path.join(sink, "data")
     counts = (
         read_events_stream(spark, sf_dir)
         .groupBy("event_type")
@@ -323,7 +331,7 @@ def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(sink)
+        batch_df.write.mode("overwrite").parquet(data_dir)
 
     ckpt = scratch_dir("ckpt_foreach_")
     try:
@@ -337,7 +345,7 @@ def run_foreach_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         release(ckpt)
-    return spark.read.parquet(sink)
+    return spark.read.parquet(data_dir)
 
 
 def stateful_user_counters(events: DataFrame) -> DataFrame:

@@ -46,11 +46,15 @@ def vhash(pdf) -> str:
     # one giant CSV string is O(n log n) and >3x frame memory — observed
     # grinding a single 180M-row compare for 30+ minutes at 41 GB RSS.
     # Chunked ORDER-INSENSITIVE multiset hash instead: same row
-    # serialization (sorted columns, %.9g floats), sum of per-row md5s
-    # mod 2^128. Multiset equality == sorted-CSV equality given
-    # rows_match checks cardinality separately; only the hash VALUE
-    # differs, flagged by the "multiset:" prefix so records are honest
-    # about which comparator ran.
+    # serialization (sorted columns, %.9g floats), then a uint64 sum of
+    # pd.util.hash_pandas_object row hashes mod 2^64. Multiset equality
+    # == sorted-CSV equality given rows_match checks cardinality
+    # separately; only the hash VALUE differs, flagged by the "multiset:"
+    # prefix so records are honest about which comparator ran. NOTE:
+    # hash_pandas_object's output is an implementation detail — both
+    # sides of a census run must hash under the SAME pandas version (they
+    # do here: one process), and multiset hashes are not comparable
+    # across environments.
     import numpy as np
     import pandas as pd
 
@@ -67,6 +71,106 @@ def vhash(pdf) -> str:
                 pd.Series(csv.splitlines(), dtype=object), index=False
             ).to_numpy(dtype=np.uint64).sum()
     return f"multiset:{int(total):016x}"
+
+
+def _norm_kind(dtype) -> str:
+    """Collapse a pandas dtype into a comparison class so the giant-path
+    schema check can compare TYPES, not just names (round-11 advice: a
+    name-only check would let an int-vs-string drift at sf10 record
+    rows+schema). Classes are deliberately coarse — nullable ints come
+    back float64 from one engine and int64 from the other."""
+    k = getattr(dtype, "kind", "O")
+    if k in "iuf":
+        return "num"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "ts"
+    return "obj"
+
+
+# Banded full-value comparator for outputs over the hash cap (round-12,
+# verdict item 3): band both sides by the first hex char of
+# md5(cast(key)) — md5 is bit-identical across Spark and DuckDB for the
+# same string, and integer->string casts agree — then run the ordinary
+# vhash comparator per band (each band lands well under the cap, so the
+# >20M-row projections get a TRUE value hash at sf10 instead of
+# rows+schema). Key must be an integer/string column in the OUTPUT.
+_BAND_KEYS = {
+    "cast_types": "l_orderkey",
+    "join_bucketed_colocated": "l_orderkey",
+    "join_skew_salted": "l_orderkey",
+    "reshape_unpivot": "l_orderkey",
+}
+_BAND_CHARS = "0123456789abcdef"
+
+
+def _banded_compare(spark, con, sdf_lazy, oracle_sql: str, key: str,
+                    spark_rows: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from mdb_to_postgres_spark import scratch
+
+    row: dict = {"comparator": "banded_md5_16"}
+    out_dir = scratch.scratch_dir("bandcmp_")
+    try:
+        # ONE engine execution, spilled banded to parquet; 16 cheap
+        # partition reads after (16 re-executions of the full plan was
+        # the naive alternative).
+        (
+            sdf_lazy.withColumn(
+                "_band",
+                F.substring(
+                    F.md5(F.coalesce(F.col(key).cast("string"), F.lit(""))), 1, 1
+                ),
+            )
+            .write.partitionBy("_band")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE _bandcmp AS "
+            f"SELECT *, substr(md5(coalesce(CAST({key} AS VARCHAR), '')), 1, 1) AS _band "
+            f"FROM ({oracle_sql})"
+        )
+        oracle_rows = con.execute("SELECT COUNT(*) FROM _bandcmp").fetchone()[0]
+        row["oracle_rows"] = oracle_rows
+        row["rows_match"] = spark_rows == oracle_rows
+        spark_seen = 0
+        all_match = True
+        schema_ok = True
+        for h in _BAND_CHARS:
+            part = os.path.join(out_dir, f"_band={h}")
+            if os.path.isdir(part):
+                spdf = spark.read.parquet(part).toPandas()
+            else:
+                import pandas as pd
+
+                spdf = pd.DataFrame()
+            opdf = con.execute(
+                f"SELECT * EXCLUDE (_band) FROM _bandcmp WHERE _band = '{h}'"
+            ).df()
+            spark_seen += len(spdf)
+            if len(spdf) != len(opdf):
+                all_match = False
+                continue
+            if len(spdf) == 0:
+                continue
+            if sorted((c, _norm_kind(spdf[c].dtype)) for c in spdf.columns) != sorted(
+                (c, _norm_kind(opdf[c].dtype)) for c in opdf.columns
+            ):
+                schema_ok = False
+            if sorted(spdf.columns) != sorted(opdf.columns) or vhash(spdf) != vhash(opdf):
+                all_match = False
+        con.execute("DROP TABLE IF EXISTS _bandcmp")
+        # Every spark row must appear in exactly one band (a NULL key
+        # lands in the coalesce('') band on both sides).
+        row["schema_match"] = schema_ok
+        row["hash_match"] = all_match and spark_seen == spark_rows and row["rows_match"]
+        row["err"] = None
+    finally:
+        scratch.release(out_dir)
+    return row
 
 
 def main() -> None:
@@ -149,19 +253,35 @@ def main() -> None:
             sdf = sdf_lazy.limit(_HASH_ROW_CAP + 1).toPandas()
             giant = len(sdf) > _HASH_ROW_CAP
             row["spark_rows"] = sdf_lazy.count() if giant else len(sdf)
-            if name in osql and giant:
+            if name in osql and giant and _BAND_KEYS.get(name) in sdf.columns:
+                # Full value proof despite the cap: release the probe
+                # frame first (it is 20M rows of ballast), then compare
+                # band-by-band.
+                import gc as _gc
+
+                sdf = None
+                _gc.collect()
+                row.update(
+                    _banded_compare(
+                        spark, con, sdf_lazy, osql[name],
+                        _BAND_KEYS[name], row["spark_rows"],
+                    )
+                )
+            elif name in osql and giant:
                 n_oracle = con.execute(
                     f"SELECT COUNT(*) FROM ({osql[name]})"
                 ).fetchone()[0]
-                ocols = [
-                    d[0]
-                    for d in con.execute(
-                        f"SELECT * FROM ({osql[name]}) LIMIT 0"
-                    ).description
-                ]
+                osample = con.execute(
+                    f"SELECT * FROM ({osql[name]}) LIMIT 10000"
+                ).df()
                 row["oracle_rows"] = n_oracle
                 row["rows_match"] = row["spark_rows"] == n_oracle
-                row["schema_match"] = sorted(sdf.columns) == sorted(ocols)
+                # Names AND coarse dtype classes (round-11 advice): a
+                # name-only check would record rows+schema through an
+                # int-vs-string drift.
+                row["schema_match"] = sorted(
+                    (c, _norm_kind(sdf[c].dtype)) for c in sdf.columns
+                ) == sorted((c, _norm_kind(osample[c].dtype)) for c in osample.columns)
                 row["err"] = f"hash_skipped_gt{_HASH_ROW_CAP}: sf1 census holds the full-hash proof"
             elif name in osql:
                 odf = con.execute(osql[name]).df()
