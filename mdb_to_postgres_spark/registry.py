@@ -176,8 +176,10 @@ def _parse_history(paths: list[str]) -> dict[str, str]:
     the latest-row status map. Split from _correctness_history so tests can
     feed fixed files instead of asserting on the mutable repo-root glob."""
     import json
+    import os
 
     hist: dict[str, str] = {}
+    _LATEST_ROUND.clear()
     for path in sorted(paths):
         try:
             with open(path) as f:
@@ -194,7 +196,14 @@ def _parse_history(paths: list[str]) -> dict[str, str]:
             else:
                 status = "crashed"
             hist[k] = status  # later rounds overwrite (sorted input)
+            _LATEST_ROUND[k] = os.path.basename(path)
     return hist
+
+
+# name -> basename of the CORRECTNESS file holding its latest driver row
+# (filenames sort by round). Side product of _parse_history; consumed by
+# load_all's rank-4 ordering so the OLDEST stamps rotate into the window.
+_LATEST_ROUND: dict[str, str] = {}
 
 
 def load_all() -> None:
@@ -216,15 +225,22 @@ def load_all() -> None:
     from .extensions import graph  # noqa: F401  (reuses dedup's jaccard substrate)
     from .extensions import evaluation  # noqa: F401
 
-    ordered = sorted(
-        QUERIES.items(),
-        key=lambda kv: (
-            _check_rank(
-                kv[0], kv[0] in ORACLES, _fingerprint(kv[1], ORACLES.get(kv[0]))
-            ),
-            _debt_tier(kv[0]),
-        ),
-    )  # sorted() is stable: registration order survives within (rank, tier)
+    def _order_key(name: str, fn: QueryFn) -> tuple:
+        rank = _check_rank(name, name in ORACLES, _fingerprint(fn, ORACLES.get(name)))
+        # Debt tiers only arbitrate WITHIN the never-checked pool (rank 1)
+        # — applied at every rank they pinned the tier-A/B greens to the
+        # window's front forever, so the oldest stamps never refreshed.
+        tier = _debt_tier(name) if rank == 1 else 0
+        # Within the unchanged greens (rank 4), oldest driver stamp first:
+        # the window's spare slots refresh the stalest evidence instead of
+        # re-stamping last round's set. _LATEST_ROUND basenames sort by
+        # round; absent entries (shouldn't happen post-convergence) lead.
+        age = _LATEST_ROUND.get(name, "") if rank == 4 else ""
+        return (rank, tier, age)
+
+    _correctness_history()  # populate _LATEST_ROUND before ordering
+    ordered = sorted(QUERIES.items(), key=lambda kv: _order_key(*kv))
+    # sorted() is stable: registration order survives within (rank, tier, age)
     QUERIES.clear()
     QUERIES.update(ordered)
     _LOADED = True
