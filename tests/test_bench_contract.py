@@ -79,7 +79,9 @@ def test_scale_curve_record_has_no_super_linear_query():
     round 10) must keep an empty super_linear list — if a rerun ever
     flags one, the regression is in the record where the next session
     will trip over it, not only in a transcript."""
-    path = os.path.join(os.path.dirname(bench.__file__), "bench_scale_curve.json")
+    path = os.path.join(
+        os.path.dirname(bench.__file__), "bench_history", "bench_scale_curve.json"
+    )
     if not os.path.exists(path):
         import pytest
 
