@@ -52,6 +52,21 @@ def get_session(app_name: str = "mdb-to-postgres-spark") -> SparkSession:
         # actually launches the JVM (no-op via getOrCreate on a live one).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
+        # Status-store retention caps. A long-lived local session that runs
+        # the full 313-query registry several times (bench's cold + warm
+        # passes) accumulates ~2k SQL executions and >10k stages in the
+        # AppStatusListener/SQLAppStatusListener stores at Spark's default
+        # caps (1000 executions, each pinning formatted plan strings; 1000
+        # jobs/stages, 100k tasks). The round-12 bench window showed warm
+        # pass totals climbing monotonically 112->125->146 s on an idle box
+        # — listener-store heap growth, not data. Bounded tightly: the
+        # engine never reads these stores; the UI stays usable for live
+        # debugging with the most recent ~40 queries.
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "300")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "40")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     # Optional dedicated scratch root for shuffle/spill files (static conf,
     # only effective when this factory launches the JVM). bench.py points
