@@ -758,15 +758,33 @@ def stream_join_windowed_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_outer_join_watermark",
     oracle=f"""
-    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
-           ({_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')})
-             AS gap_sec,
-           CASE WHEN b.event_id IS NULL THEN 0 ELSE 1 END AS matched
-    FROM (SELECT * FROM events WHERE event_type = 'click') a
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-      ON a.user_id = b.user_id
-     AND {_EV_SEC.replace('ts', 'b.ts')} >= {_EV_SEC.replace('ts', 'a.ts')}
-     AND {_EV_SEC.replace('ts', 'b.ts')} - {_EV_SEC.replace('ts', 'a.ts')} <= {_SS_BAND_SEC}
+    -- Two-step form of "clicks LEFT JOIN purchases within the band":
+    -- the single LEFT JOIN with the band predicates in its ON clause is
+    -- semantically identical, but DuckDB cannot attach residual
+    -- predicates to a hash OUTER join and planned it as a
+    -- BLOCKWISE_NL_JOIN — 2M x 2M at sf10, hours (observed in the
+    -- round-12 census sweep). Matching inner-band pairs first (hash
+    -- join on user_id + filter) and left-joining them back on the
+    -- unique click_id is two hash joins, seconds at sf10.
+    WITH a AS (
+      SELECT event_id, user_id, {_EV_SEC} AS sec
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT event_id, user_id, {_EV_SEC} AS sec
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+             b.sec - a.sec AS gap_sec
+      FROM a JOIN b
+        ON a.user_id = b.user_id
+       AND b.sec >= a.sec
+       AND b.sec - a.sec <= {_SS_BAND_SEC}
+    )
+    SELECT a.event_id AS click_id, m.purchase_id, m.gap_sec,
+           CASE WHEN m.purchase_id IS NULL THEN 0 ELSE 1 END AS matched
+    FROM a LEFT JOIN m ON m.click_id = a.event_id
     """,
 )
 def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
