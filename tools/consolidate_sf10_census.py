@@ -95,8 +95,16 @@ def main() -> None:
             if r["status"] != "not-run":
                 absorb(n, r["status"], r.get("sec"), r.get("source") or "r11-census")
 
-    # Round-12 sweep chunks.
-    for f in sorted(glob.glob("/tmp/r12*_*.json") + glob.glob("/tmp/r12*.json")):
+    # Round-12 sweep chunks: the live /tmp dumps plus the committed
+    # copies under tools/r12_census_chunks/ (evidence survives a reboot).
+    chunk_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "r12_census_chunks"
+    )
+    for f in sorted(
+        glob.glob("/tmp/r12*_*.json")
+        + glob.glob("/tmp/r12*.json")
+        + glob.glob(os.path.join(chunk_dir, "*.json"))
+    ):
         try:
             d = json.load(open(f))
         except Exception:
