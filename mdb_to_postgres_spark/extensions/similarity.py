@@ -1547,11 +1547,24 @@ def x_embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pp_flat = (
-        e.select(F.posexplode(prods).alias("k", "p_ppm"))
+    # Round 12 (guide §2.2/§6): the marginal sums and the row count used
+    # to ride two additional scans of embeddings (their own repartition +
+    # posexplode passes — the static plan had FOUR parquet scans). They
+    # now piggyback on the same flat payload: 64 marginal ppm terms and a
+    # literal 1 are appended after the 2,080 products (+3% payload), so
+    # ONE scan + ONE explode/aggregate produces cells k<2080, marginals
+    # 2080<=k<2144 and n at k=2144. Bit-equal at sf0.01/sf0.1 (identical
+    # bigint lattices per term).
+    margs = F.transform(
+        F.col("emb"), lambda v: F.round(v * 1000000, 0).cast("bigint")
+    )
+    payload = F.concat(prods, margs, F.array(F.lit(1).cast("bigint")))
+    sums = (
+        e.select(F.posexplode(payload).alias("k", "p_ppm"))
         .groupBy("k")
         .agg(F.sum("p_ppm").cast("bigint").alias("spp"))
     )
+    pp_flat = sums.filter(F.col("k") < 2080)
     idx_pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(64)),
@@ -1567,15 +1580,11 @@ def x_embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "ij.i", "ij.j"
     )
     pp = pp_flat.join(F.broadcast(idx), "k").select("i", "j", "spp")
-    xs = e.select("vec_id", F.posexplode("emb").alias("pos", "v"))
-    marg = xs.groupBy((F.col("pos") + 1).cast("int").alias("i")).agg(
-        F.sum(F.round(F.col("v") * 1000000, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("s")
+    ma = sums.filter((F.col("k") >= 2080) & (F.col("k") < 2144)).select(
+        (F.col("k") - 2080 + 1).cast("int").alias("mi"), F.col("spp").alias("si")
     )
-    n = e.agg(F.count("*").cast("bigint").alias("n"))
-    ma = marg.select(F.col("i").alias("mi"), F.col("s").alias("si"))
-    mb = marg.select(F.col("i").alias("mj"), F.col("s").alias("sj"))
+    mb = ma.select(F.col("mi").alias("mj"), F.col("si").alias("sj"))
+    n = sums.filter(F.col("k") == 2144).select(F.col("spp").alias("n"))
     return (
         pp.join(F.broadcast(ma), pp.i == ma.mi)
         .join(F.broadcast(mb), pp.j == mb.mj)
