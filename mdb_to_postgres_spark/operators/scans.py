@@ -954,23 +954,31 @@ def etl_build_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("type_sk", F.dense_rank().over(Window.orderBy("event_type")))
     )
+    # Round 12 (guide §2.2): carry event_type through the fact instead of
+    # re-joining dim_type to recover it — the second broadcast join
+    # re-computed the whole distinct+window dim subtree. One fewer
+    # events-distinct pass; bit-equal at sf0.01/sf0.1.
     fact = (
         ev.join(F.broadcast(dim_user), "user_id")
         .join(F.broadcast(dim_type), "event_type")
         .select(
-            "event_id", "user_sk", "type_sk", F.col("value").cast("decimal(18,2)").alias("v")
+            "event_id", "user_sk", "type_sk", "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
         )
     )
     n_users = user_keys.agg(F.count("*").alias("dim_user_rows"))
     return (
-        fact.join(F.broadcast(dim_type.select("type_sk", "event_type")), "type_sk")
-        .groupBy("type_sk", "event_type")
+        fact.groupBy("type_sk", "event_type")
         .agg(
             F.count("*").alias("fact_rows"),
             F.countDistinct("user_sk").alias("distinct_users"),
             F.sum("v").cast("double").alias("value_sum"),
         )
         .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_sk", "event_type", "fact_rows", "distinct_users",
+            "value_sum", "dim_user_rows",
+        )
     )
 
 
