@@ -1346,20 +1346,36 @@ def etl_merkle_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.ck"), F.lit(0)).cast("bigint").alias("ck_v1"),
         F.coalesce(F.col("b.ck"), F.lit(0)).cast("bigint").alias("ck_v2"),
     )
-    sums = [
-        F.sum("n_v1").cast("bigint").alias("n_v1"),
-        F.sum("n_v2").cast("bigint").alias("n_v2"),
-        F.sum("ck_v1").cast("bigint").alias("ck_v1"),
-        F.sum("ck_v2").cast("bigint").alias("ck_v2"),
-    ]
-    mid = leaf.groupBy(
-        F.floor(F.col("node_id") / _MERKLE_FANIN).cast("bigint").alias("node_id")
-    ).agg(*sums)
-    root = mid.agg(*sums).select(F.lit(0).cast("bigint").alias("node_id"), "*")
+    # Round 12 (guide §2.2): the three tree levels used to be three
+    # separate branches over `leaf` (leaf / mid-rollup / root-rollup
+    # unioned), re-running the leaf join per branch — 18 Exchanges. Each
+    # leaf row now EXPLODES into its three (level, node_id) ancestors and
+    # one groupBy builds the whole tree (level-0 groups are singletons,
+    # so their sums are identities). 1 aggregation over 3*256 rows;
+    # sf0.1 median 0.52 -> 0.33 s; bit-equal at sf0.01/sf0.1.
+    lvl = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("level"), F.col("node_id").alias("nid")),
+            F.struct(
+                F.lit(1).alias("level"),
+                F.floor(F.col("node_id") / _MERKLE_FANIN).cast("bigint").alias("nid"),
+            ),
+            F.struct(F.lit(2).alias("level"), F.lit(0).cast("bigint").alias("nid")),
+        )
+    )
     tree = (
-        leaf.select(F.lit(0).alias("level"), "*")
-        .unionByName(mid.select(F.lit(1).alias("level"), "*"))
-        .unionByName(root.select(F.lit(2).alias("level"), "*"))
+        leaf.select(lvl.alias("x"), "n_v1", "n_v2", "ck_v1", "ck_v2")
+        .select(
+            F.col("x.level").alias("level"), F.col("x.nid").alias("node_id"),
+            "n_v1", "n_v2", "ck_v1", "ck_v2",
+        )
+        .groupBy("level", "node_id")
+        .agg(
+            F.sum("n_v1").cast("bigint").alias("n_v1"),
+            F.sum("n_v2").cast("bigint").alias("n_v2"),
+            F.sum("ck_v1").cast("bigint").alias("ck_v1"),
+            F.sum("ck_v2").cast("bigint").alias("ck_v2"),
+        )
     )
     return tree.filter(
         (F.col("ck_v1") != F.col("ck_v2")) | (F.col("n_v1") != F.col("n_v2"))
