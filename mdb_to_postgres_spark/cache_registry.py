@@ -36,13 +36,16 @@ SESSION_CACHES: list[tuple[str, dict]] = [
     ("text.trigrams", text_analysis._TRIGRAM_CACHE),
     ("text.ngram_profiles", text_analysis._NGRAM_PROF_CACHE),
     ("text.char_lm_model", text_analysis._CHAR_LM_MODEL_CACHE),
+    ("text.bm25_index", text_analysis._BM25_INDEX_CACHE),
     ("graph.pairs", graph._PAIR_CACHE),
     ("sim.flat_corpus", similarity._FLAT_CORPUS_CACHE),
     ("sim.strides", similarity._STRIDE_CACHE),
     ("sim.ivf_assign", similarity._IVF_ASSIGN_CACHE),
     ("sim.kmeans_centroids", similarity._KMEANS_CENT_CACHE),
     ("sim.lsh_buckets", similarity._LSH_BUCK_CACHE),
+    ("sim.lsh_codes", similarity._LSH_CODES_CACHE),
     ("sim.pq_encode", similarity._PQ_ENC_CACHE),
+    ("sim.pq_dtab", similarity._PQ_DTAB_CACHE),
     ("win.concurrency_bounds", windows._CONC_BOUNDS_CACHE),
     ("win.pareto_revenue", windows._PARETO_REV_CACHE),
     ("win.rfm_entity", windows._RFM_ENTITY_CACHE),

@@ -1065,22 +1065,24 @@ def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     component computation."""
     d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
     comp = x_dedup_components(spark, sf_dir).select("doc_id", "component_id")
-    clustered = comp.join(d, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    keepers = (
-        clustered.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component_id", F.col("doc_id").alias("keeper_id"))
+    # ONE left join + ONE window replaces the old keeper-window + join-back
+    # + anti-join + union (guide §2.4): singleton docs get a synthetic
+    # per-doc partition key ("s:<doc_id>", disjoint from the "c:" cluster
+    # namespace), so each is its own window partition and keeps itself —
+    # no skewed all-NULL partition, no second consumption of the
+    # components subtree. first(doc_id) over the (n_chars DESC, doc_id)
+    # order is exactly the old ROW_NUMBER()=1 keeper.
+    joined = d.join(comp, "doc_id", "left")
+    wkey = F.coalesce(
+        F.concat(F.lit("c:"), F.col("component_id").cast("string")),
+        F.concat(F.lit("s:"), F.col("doc_id").cast("string")),
     )
-    in_cluster = clustered.join(keepers, "component_id").select(
+    w = Window.partitionBy(wkey).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return joined.select(
         "doc_id",
-        "keeper_id",
-        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        F.first("doc_id").over(w).alias("keeper_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_keeper"),
     )
-    singles = d.join(comp, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("keeper_id"), F.lit(True).alias("is_keeper")
-    )
-    return in_cluster.unionByName(singles)
 
 
 @query(

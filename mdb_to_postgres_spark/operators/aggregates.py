@@ -777,7 +777,17 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("sa") * F.col("sb")).cast("bigint").alias("dot"))
     )
     est = dots.agg(F.sum("dot").cast("bigint").alias("est4"))
-    act = li.join(o, li.l_orderkey == o.o_orderkey).agg(F.count("*").alias("exact_rows"))
+    # Exact |A JOIN B| without materializing the join: COUNT(*) of an
+    # equi-join equals sum_k cnt_A(k) * cnt_B(k), so each side collapses to
+    # its per-key count vector first (map-side partial agg shrinks the fact
+    # shuffle to one row per key) and the join carries two thin count
+    # columns instead of full fact x dim rows (guide §2.2: shuffle fewer
+    # bytes / aggregate before joining). Bit-identical: integer counts.
+    ka = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("na"))
+    kb = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("nb"))
+    act = ka.join(kb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_rows")
+    )
     return (
         est.crossJoin(F.broadcast(act))
         .select(

@@ -894,20 +894,31 @@ def join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= F.col("v_date"))
         & (F.col("tx_date") <= F.col("t_date")),
     )
-    w = Window.partitionBy("probe_id", "o_custkey").orderBy(
-        F.desc("valid_from"), F.desc("tx_date"), F.desc("version_key")
+    # Bitemporal argmax as max_by instead of a row_number window (guide
+    # §2.2): the window form dragged every hit row (with its formatted
+    # date strings) through a sort exchange; max_by partial-aggregates
+    # map-side, so only one candidate row per (probe, custkey) rides the
+    # shuffle and the date formatting runs on survivors only. The DESC
+    # (valid_from, tx_date, version_key) order is exactly the struct MAX
+    # (version_key is unique, so no tie exists for max_by to break).
+    payload = F.struct(
+        F.date_format("v_date", "yyyy-MM-dd").alias("v_date"),
+        F.date_format("t_date", "yyyy-MM-dd").alias("t_date"),
+        F.col("version_key").alias("version_key"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.datediff("tx_date", "valid_from").cast("bigint").alias("days_late"),
     )
+    ordk = F.struct(F.col("valid_from"), F.col("tx_date"), F.col("version_key"))
     return (
-        hits.select(
+        hits.groupBy("probe_id", "o_custkey")
+        .agg(F.max_by(payload, ordk).alias("p"))
+        .select(
             "probe_id",
-            F.date_format("v_date", "yyyy-MM-dd").alias("v_date"),
-            F.date_format("t_date", "yyyy-MM-dd").alias("t_date"),
+            "p.v_date",
+            "p.t_date",
             "o_custkey",
-            "version_key",
-            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
-            F.datediff("tx_date", "valid_from").cast("bigint").alias("days_late"),
-            F.row_number().over(w).alias("rn"),
+            "p.version_key",
+            "p.valid_from",
+            "p.days_late",
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
     )

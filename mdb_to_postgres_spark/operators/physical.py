@@ -250,14 +250,34 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         *[F.expr(_bloom_pos_sql(i, "l_orderkey", False)).alias(f"p{i}") for i in range(_BLOOM_K)],
     )
-    j = probe
-    for i in range(_BLOOM_K):
-        b = bloom.select(F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}"))
-        j = j.join(F.broadcast(b), F.expr(f"p{i} div 63") == F.col(f"w{i}"), "left")
+    # The <=2081 filter words collapse to ONE single-row DENSE ARRAY
+    # indexed by word number — each probe is then k O(1) array reads
+    # inside one projection instead of k broadcast left joins (guide §3:
+    # before, the word table's build subtree hung under 3 separate
+    # broadcast exchanges, so dim scan + explode + bit_or ran three
+    # times and every fact row crossed 3 join operators). A MAP was
+    # measured and rejected: Spark's element_at on a non-literal map is
+    # a linear scan (~2k comparisons x 3 probes x every fact row). The
+    # dense form is exactly the "ship the filter to the scan" layout —
+    # absent words hold 0, so every bit test fails like the old
+    # left-join-miss coalesce(false).
+    n_words = (_BLOOM_M + 62) // 63
+    bloom_arr = bloom.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(element_at(bm, cast(i as bigint)), cast(0 as bigint)))"
+        ).alias("ba")
+    )
+    j = probe.crossJoin(F.broadcast(bloom_arr))
     pass_col = None
     for i in range(_BLOOM_K):
         chk = F.coalesce(
-            F.expr(f"(bits{i} & shiftleft(cast(1 as bigint), cast(p{i} % 63 as int))) <> 0"),
+            F.expr(
+                f"(element_at(ba, cast(p{i} div 63 as int) + 1)"
+                f" & shiftleft(cast(1 as bigint), cast(p{i} % 63 as int))) <> 0"
+            ),
             F.lit(False),
         )
         pass_col = chk if pass_col is None else (pass_col & chk)
