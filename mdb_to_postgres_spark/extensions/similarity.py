@@ -1640,10 +1640,18 @@ def x_embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb"), lambda v: F.round(v * 1000000, 0).cast("bigint")
     )
     payload = F.concat(prods, margs, F.array(F.lit(1).cast("bigint")))
+    # The 2,145-row aggregate is localCheckpointed: its FOUR consumers
+    # (cells, both marginal arms, n) otherwise re-plan the Gram pass and
+    # only AQE's ReusedExchange — which proved FLAKY under bench memory
+    # pressure (per-pass medians 1.1 → 19.6 s when the reuse misses) —
+    # keeps it to one execution. The checkpoint is the deterministic
+    # materialization barrier: one scan + one explode/aggregate per call,
+    # then three reads of 2,145 cached rows.
     sums = (
         e.select(F.posexplode(payload).alias("k", "p_ppm"))
         .groupBy("k")
         .agg(F.sum("p_ppm").cast("bigint").alias("spp"))
+        .localCheckpoint()
     )
     pp_flat = sums.filter(F.col("k") < 2080)
     idx_pairs = F.flatten(

@@ -768,10 +768,18 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sess = F.when(
         F.col("ts_sec") - F.lag("ts_sec").over(wlag) > 1800, 1
     ).otherwise(0)
+    # Materialize the session table once: its two consumers (the global
+    # top-20 and the probe side of the cell join) otherwise each re-run
+    # the events scan + sessionize window — the plan showed the Window
+    # chain and FileScan twice, once under the broadcast arm and once on
+    # the probe side (no cross-branch CSE for non-identical exchanges).
+    # One events pass per call; the checkpointed table is session-grain,
+    # ~|events| / session-length rows.
     iv = (
         ev.withColumn("sid", F.sum(new_sess).over(wsum))
         .groupBy("user_id", "sid")
         .agg(F.min("ts_sec").alias("t_start"), F.max("ts_sec").alias("t_end"))
+        .localCheckpoint()
     )
     top = (
         iv.withColumn("duration_sec", F.col("t_end") - F.col("t_start"))
