@@ -13,6 +13,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1781,6 +1783,20 @@ _CDC_MOD = 1 << 20
 _CDC_DIV = 64
 _CDC_POWS = [pow(_CDC_A, j, _CDC_MOD) for j in range(_CDC_W)]
 
+# Round 12 (guide §1.2 per-task work): md5(ch) depends only on the
+# character, so the 255 single-codepoint values are precomputed HERE with
+# the identical function (md5 over the char's UTF-8 bytes, first 4 hex
+# digits) and the per-char projection indexes this constant array by
+# ascii(ch) instead of running MessageDigest + hex conv per character.
+# ascii() is ONLY an index on the Spark side — the VALUES stay md5-derived,
+# so the engines-disagree-on-codepoints concern above does not reopen; any
+# codepoint outside 1..255 falls back to the original md5 expression.
+# Bit-equal chunk tables at sf0.1; 1.19 -> 0.81 s min-of-5.
+_CDC_CODES = [
+    int(hashlib.md5(chr(b).encode("utf-8")).hexdigest()[:4], 16) for b in range(1, 256)
+]
+_CDC_CODE_ARR = "array(" + ",".join(f"{v}L" for v in _CDC_CODES) + ")"
+
 
 def cdc_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, chunk_text) stream behind x_dedup_chunk_cdc, exposed
@@ -1815,7 +1831,9 @@ def cdc_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(transform(sequence(1, length(text)),"
             " i -> substring(text, i, 1)),"
-            " ch -> cast(conv(substring(md5(ch), 1, 4), 16, 10) as bigint))"
+            f" ch -> if(ascii(ch) BETWEEN 1 AND 255,"
+            f" element_at({_CDC_CODE_ARR}, ascii(ch)),"
+            " cast(conv(substring(md5(ch), 1, 4), 16, 10) as bigint)))"
         ).alias("cs"),
     )
     bounded = base.select(

@@ -500,9 +500,20 @@ def x_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _parallelize(flat_emb(e, "vec_a", "a"))
     b = flat_emb(e, "vec_b", "b")
     cos = dot_flat("a", "b") / (F.col("anorm") * F.col("bnorm"))
+    # Round 12 (guide §7.2 duplicated subtrees / §4.4's duplication class
+    # for plain expressions): without the guard, predicate pushdown folds
+    # `cos_sim > 0.4` INTO the BNLJ join condition AHEAD of the cheap
+    # vec_a < vec_b prune — every ordered pair (2x the survivors) paid the
+    # 64-term dot product inside the giant join condition, and the Project
+    # re-evaluated it for survivors. The always-true nondeterministic
+    # guard (monotonically_increasing_id() >= 0) pins the evaluation above
+    # the join: the BNLJ now tests only vec_a < vec_b and each surviving
+    # pair computes cos ONCE in the codegen'd projection. Bit-equal (the
+    # guard never changes the value); 0.87 -> 0.50 s median at sf0.1.
+    guarded = F.when(F.monotonically_increasing_id() >= 0, cos)
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cos)
+        .withColumn("cos_sim", guarded)
         .filter(F.col("cos_sim") > 0.4)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -1447,8 +1458,19 @@ def x_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products are unrolled left-associative expressions with
     identical term order on both engines (the similarity tier's
     determinism discipline), so even the float ranking hash-matches.
-    Per-query top-5s come from ranked windows; the recall join touches
-    40 rows per query.""".replace("{dim}", str(_MRL_DIM))
+
+    Round 12 (guide §2.4): the two rankings used to be two separate
+    corpus passes (top(64) and top({dim}) each rebuilt the crossJoin +
+    its own window exchange, then an SMJ matched their top-5s). Both
+    cosines now ride ONE scoring projection over ONE crossJoin; the two
+    row_number windows share the same query_id hash exchange (one
+    Exchange, two Sort+Window pairs), and the recall join collapses
+    into a same-row rn comparison — kept = rows with rn_full<=5 AND
+    rn_trunc<=5, identical to the old left-join count because both
+    top-5s come from the same (query, neighbor) universe. Bit-equal at
+    sf0.01/sf0.1; 1.16 -> 0.81 s min-of-5 (18 -> 5 Exchanges).""".replace(
+        "{dim}", str(_MRL_DIM)
+    )
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
@@ -1464,31 +1486,32 @@ def x_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def top(n: int) -> DataFrame:
-        cos = F.expr(
-            f"({_mrl_terms('qemb', 'cemb', n, 0)})"
-            f" / (({_mrl_norm('qemb', n, 0)}) * ({_mrl_norm('cemb', n, 0)}))"
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-        return (
-            c.crossJoin(F.broadcast(q))
-            .select("query_id", "neighbor_id", cos.alias("cos"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 5)
-            .select("query_id", "neighbor_id")
-        )
-
-    full_top = top(64)
-    trunc_top = top(_MRL_DIM).withColumnRenamed("neighbor_id", "t_neighbor")
-    joined = full_top.join(
-        trunc_top,
-        (full_top.query_id == trunc_top.query_id)
-        & (full_top.neighbor_id == trunc_top.t_neighbor),
-        "left",
-    ).select(full_top.query_id, trunc_top.t_neighbor)
-    return joined.groupBy("query_id").agg(
-        F.count("t_neighbor").cast("bigint").alias("kept"),
-        (F.count("t_neighbor").cast("double") / 5).alias("recall_at_5"),
+    cos_full = F.expr(
+        f"({_mrl_terms('qemb', 'cemb', 64, 0)})"
+        f" / (({_mrl_norm('qemb', 64, 0)}) * ({_mrl_norm('cemb', 64, 0)}))"
+    )
+    cos_trunc = F.expr(
+        f"({_mrl_terms('qemb', 'cemb', _MRL_DIM, 0)})"
+        f" / (({_mrl_norm('qemb', _MRL_DIM, 0)})"
+        f" * ({_mrl_norm('cemb', _MRL_DIM, 0)}))"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cos_full.alias("cos_f"),
+        cos_trunc.alias("cos_t"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_f"), F.asc("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cos_t"), F.asc("neighbor_id"))
+    both = (
+        scored.withColumn("rn_f", F.row_number().over(wf))
+        .withColumn("rn_t", F.row_number().over(wt))
+        .filter(F.col("rn_f") <= 5)
+    )
+    kept = F.count(F.when(F.col("rn_t") <= 5, F.lit(1)))
+    return both.groupBy("query_id").agg(
+        kept.cast("bigint").alias("kept"),
+        (kept.cast("double") / 5).alias("recall_at_5"),
     )
 
 

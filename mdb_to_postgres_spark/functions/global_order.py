@@ -118,7 +118,9 @@ def _build_memo(df: DataFrame, tag: tuple, build):
     return artifact
 
 
-def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
+def _bucket_expr(
+    key: Column, descending: bool, bounds: list, codegen: bool = False
+) -> Column:
     """Deterministic bucket id: the count of quantile boundaries strictly
     below (asc) / above (desc) the key — monotone in the sort order, and
     equal keys always collide into one bucket.
@@ -144,9 +146,31 @@ def _bucket_expr(key: Column, descending: bool, bounds: list) -> Column:
     # with the sort order; cast collisions only merge buckets, never split
     # equal keys.
     k = key.cast("double")
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    cnt = F.size(F.filter(arr, (lambda b: b > k) if descending else (lambda b: b < k)))
     null_bucket = len(bounds) if descending else 0  # asc: NULLS FIRST; desc: LAST
+    if codegen:
+        # Round 12 (guide §1.2): flat indicator SUM — whole-stage-codegen
+        # compiles it, so the per-row cost drops from O(B) interpreted
+        # lambda evals to B fused compares. Same value as the HOF count
+        # (count of boundaries strictly below/above the key). Opt-IN per
+        # call site: measured 1.57 -> 1.08 s on sort_zorder_cluster
+        # (bucket over the 600k-row fact substrate every call) but 0.51
+        # -> 1.45 s on win_rfm_segmentation (3 x 64 terms inlined into a
+        # wide plan — the round-8 Janino cliff), so the default stays
+        # interpreted and thin-plan/large-substrate consumers opt in.
+        terms = [
+            ((F.lit(float(b)) > k) if descending else (F.lit(float(b)) < k)).cast(
+                "int"
+            )
+            for b in bounds
+        ]
+        cnt = terms[0]
+        for t in terms[1:]:
+            cnt = cnt + t
+    else:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        cnt = F.size(
+            F.filter(arr, (lambda b: b > k) if descending else (lambda b: b < k))
+        )
     return F.when(k.isNull(), F.lit(null_bucket)).otherwise(cnt)
 
 
@@ -173,6 +197,7 @@ def global_cumsum_multi(
     num_buckets: int = _DEFAULT_BUCKETS,
     rel_err: float = 0.001,
     bucket_key: Column | None = None,
+    codegen_bucket: bool = False,
 ) -> DataFrame:
     """Append one global running sum column per (value, out) pair over the
     SHARED total order `order_by` (exclusive of the current row by
@@ -222,7 +247,7 @@ def global_cumsum_multi(
         tuple(_expr_str(v) for v, _ in values),
     )
     bounds, rows = _build_memo(df, tag, _build)
-    bucket = _bucket_expr(bkey, descending, bounds)
+    bucket = _bucket_expr(bkey, descending, bounds, codegen=codegen_bucket)
     upper = 0 if inclusive else -1
     w = (
         Window.partitionBy(_B)
@@ -259,6 +284,7 @@ def global_cumsum(
     num_buckets: int = _DEFAULT_BUCKETS,
     rel_err: float = 0.001,
     bucket_key: Column | None = None,
+    codegen_bucket: bool = False,
 ) -> DataFrame:
     """Single-value form of `global_cumsum_multi` (see its docstring for
     the plan contract and the `bucket_key` escape hatch)."""
@@ -271,6 +297,7 @@ def global_cumsum(
         num_buckets=num_buckets,
         rel_err=rel_err,
         bucket_key=bucket_key,
+        codegen_bucket=codegen_bucket,
     )
 
 
@@ -355,6 +382,7 @@ def global_row_number(
     total_col: str | None = None,
     num_buckets: int = _DEFAULT_BUCKETS,
     bucket_key: Column | None = None,
+    codegen_bucket: bool = False,
 ) -> DataFrame:
     """Append `out` = ROW_NUMBER() OVER (ORDER BY order_by) — 1-based —
     computed via the clustered-bucket cumsum. Requires `order_by` to be a
@@ -368,6 +396,7 @@ def global_row_number(
         total_col=total_col,
         num_buckets=num_buckets,
         bucket_key=bucket_key,
+        codegen_bucket=codegen_bucket,
     )
 
 

@@ -82,6 +82,21 @@ def get_session(app_name: str = "mdb-to-postgres-spark") -> SparkSession:
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
         )
+        # Round 12 (guide §5): localCheckpoint/broadcast blocks are only
+        # released after the ContextCleaner sees their driver references
+        # collected — and a 24 g heap may not take a full GC for many
+        # minutes, so a long pass over the registry (dozens of per-call
+        # checkpoints) piles storage blocks until the collector stalls
+        # mid-query (bench r12 mid-round record: individual queries
+        # spiking 0.8 -> 43 s in late warm passes). Spark's own remedy is
+        # the cleaner's periodic GC (default 30min — never fires inside a
+        # pass); 90s keeps the block manager drained continuously.
+        # Env-overridable; on a real cluster executors GC on their own
+        # heap pressure and this only affects the driver.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
     )
     # Optional dedicated scratch root for shuffle/spill files (static conf,
     # only effective when this factory launches the JVM). bench.py points
