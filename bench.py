@@ -126,6 +126,21 @@ def main() -> None:
     # the atexit sweep removes even if the bench itself crashes; (c) record
     # free space so an ENOSPC-bound run is visible in the ledger.
     swept = scratch.sweep_stale(min_age_sec=60)
+
+    def _steal_jiffies() -> int:
+        # Hypervisor CPU-steal counter (8th field of /proc/stat cpu line).
+        # Round-12 finding: whole warm windows inflate 10-40% in
+        # contiguous registration-order blocks on an idle guest — the
+        # signature of host-level steal bursts, not engine drift (the
+        # box shows ~2% average steal with bursts). Recording the delta
+        # lets a stolen run self-identify next to its spread_pct.
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
+
+    steal_pre = _steal_jiffies()
     # Only allocate a scratch local.dir when the caller hasn't pinned one
     # (round-11 advice: setdefault after an unconditional scratch_dir left
     # an unused dir registered/swept and skewed the disk ledger's delta).
@@ -190,7 +205,11 @@ def main() -> None:
     # pass record, including dropped windows, lands in the sidecar, and
     # the line carries warm_passes so a retried run self-identifies.
     all_warms = list(warms)
-    extra_budget = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "3"))
+    # Default raised 3 -> 5 in round 12: with bursty hypervisor steal the
+    # windows are bimodal (e.g. 95 / 135 / 135 s on an idle guest), and
+    # two more chances at a clean window are cheap next to publishing a
+    # 40% spread.
+    extra_budget = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "5"))
     while _spread(sorted(all_warms, key=lambda w: sum(w.values()))[:3]) > 5.0 and extra_budget > 0:
         extra_budget -= 1
         w: dict[str, float] = {}
@@ -232,6 +251,9 @@ def main() -> None:
         "free_pre_gb": round(free_pre_gb, 1),
         "free_post_gb": round(shutil.disk_usage(tempfile.gettempdir()).free / 1e9, 1),
         "stale_swept": swept,
+        # CPU-seconds stolen by the hypervisor across the whole run
+        # (jiffies at USER_HZ=100); high values explain a high spread_pct.
+        "steal_s": round((_steal_jiffies() - steal_pre) / 100.0, 1),
     }
     payload = build_payload(timings, sf, warm_totals, disk, warm_passes=len(all_warms))
     os.write(real_stdout_fd, (payload + "\n").encode())

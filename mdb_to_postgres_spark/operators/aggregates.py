@@ -755,41 +755,31 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash-checked with the exact size alongside."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
-    # Round 12, second pass (guide §2.3/§2.4): BOTH the sketch and the
-    # exact arm now derive from ONE per-key count table per side. The
-    # per-row sketch sum telescopes exactly — SUM(sg) over rows ==
-    # SUM(sg * cnt(k)) over distinct keys, integer arithmetic — so the
-    # md5 kernel runs once per DISTINCT key (4x fewer digests on the
-    # lineitem side) and each fact table is scanned ONCE per call instead
-    # of twice. The keyed tables are localCheckpointed because both arms
-    # consume them (no cross-branch CSE otherwise). Bit-equal at
-    # sf0.01/sf0.1; 1.47 -> 1.22 s min-of-5.
-    ka = (
-        li.groupBy(F.col("l_orderkey").alias("k"))
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint()
-    )
-    kb = (
-        o.groupBy(F.col("o_orderkey").alias("k"))
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint()
-    )
-
-    def agms(kdf: DataFrame) -> DataFrame:
+    # Round 12, second pass, REVERTED after sf10 measurement: a variant
+    # that derived the sketch from the per-key count table (sketch sum
+    # telescopes: SUM(sg) over rows == SUM(sg*cnt) over keys) looked
+    # ~1.2x faster at sf0.1 but was 2-10x SLOWER at sf10 (warm 9.3 s ->
+    # 21-111 s): the sketch then hangs off the full-cardinality keyed
+    # shuffle (15M keys) instead of being a scan -> explode -> MAP-SIDE
+    # partial agg -> 2048-cell shuffle, and a localCheckpoint of the
+    # fact-keyed table burned heap per call. The row form's md5-per-row
+    # cost parallelizes flat; the keyed form's extra exchange does not.
+    # Kept: the sketch runs over raw rows (one scan, tiny shuffle).
+    def agms(df: DataFrame, key: str) -> DataFrame:
         pairs = ", ".join(
             f"struct({_js_bucket(d, False)} AS b, {_js_sign(d, False)} AS sg)"
             for d in range(_JS_D)
         )
         return (
-            kdf.selectExpr(f"{_js_hx('k', False)} AS hx", "n")
-            .select(F.posexplode(F.expr(f"array({pairs})")).alias("d", "x"), "n")
-            .select("d", "x.b", (F.col("x.sg") * F.col("n")).alias("sgn"))
+            df.selectExpr(f"{_js_hx(key, False)} AS hx")
+            .select(F.posexplode(F.expr(f"array({pairs})")).alias("d", "x"))
+            .select("d", "x.b", "x.sg")
             .groupBy("d", "b")
-            .agg(F.sum("sgn").cast("bigint").alias("s"))
+            .agg(F.sum("sg").cast("bigint").alias("s"))
         )
 
-    ca = agms(ka).withColumnRenamed("s", "sa")
-    cb = agms(kb).withColumnRenamed("s", "sb")
+    ca = agms(li, "l_orderkey").withColumnRenamed("s", "sa")
+    cb = agms(o, "o_orderkey").withColumnRenamed("s", "sb")
     dots = (
         ca.join(F.broadcast(cb), ["d", "b"])
         .groupBy("d")
@@ -797,12 +787,15 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = dots.agg(F.sum("dot").cast("bigint").alias("est4"))
     # Exact |A JOIN B| without materializing the join: COUNT(*) of an
-    # equi-join equals sum_k cnt_A(k) * cnt_B(k) (guide §2.2: shuffle
-    # fewer bytes / aggregate before joining). Bit-identical: integers.
-    act = (
-        ka.withColumnRenamed("n", "na")
-        .join(kb.withColumnRenamed("n", "nb"), "k")
-        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_rows"))
+    # equi-join equals sum_k cnt_A(k) * cnt_B(k), so each side collapses to
+    # its per-key count vector first (map-side partial agg shrinks the fact
+    # shuffle to one row per key) and the join carries two thin count
+    # columns instead of full fact x dim rows (guide §2.2: shuffle fewer
+    # bytes / aggregate before joining). Bit-identical: integer counts.
+    ka = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("na"))
+    kb = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("nb"))
+    act = ka.join(kb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_rows")
     )
     return (
         est.crossJoin(F.broadcast(act))
