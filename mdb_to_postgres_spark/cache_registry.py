@@ -37,8 +37,10 @@ SESSION_CACHES: list[tuple[str, dict]] = [
     ("text.ngram_profiles", text_analysis._NGRAM_PROF_CACHE),
     ("text.char_lm_model", text_analysis._CHAR_LM_MODEL_CACHE),
     ("text.bm25_index", text_analysis._BM25_INDEX_CACHE),
+    ("text.bigram_lm_model", text_analysis._BIGRAM_LM_CACHE),
     ("graph.pairs", graph._PAIR_CACHE),
     ("sim.flat_corpus", similarity._FLAT_CORPUS_CACHE),
+    ("sim.flat_centroids", similarity._FLAT_CENT_CACHE),
     ("sim.strides", similarity._STRIDE_CACHE),
     ("sim.ivf_assign", similarity._IVF_ASSIGN_CACHE),
     ("sim.kmeans_centroids", similarity._KMEANS_CENT_CACHE),

@@ -646,14 +646,17 @@ def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
 
     is_delta = F.col("doc_id") % 10 == 7
-    # Materialize both index sides (localCheckpoint) the way production
-    # reads the base index from a persisted table: without it, Spark
-    # recomputes the delta-signature subtree in every join branch that
-    # references it (no cross-branch CSE for non-identical exchanges) —
-    # measured 4.4 s -> ~2 s at sf0.1. The BASE index is additionally a
-    # per-(session, sf) substrate (production: the persisted banded
-    # table, built once per corpus snapshot, read by every batch) — only
-    # the delta's signatures are computed per call.
+    # The BASE index is a per-(session, sf) substrate (production: the
+    # persisted banded table, built once per corpus snapshot, read by
+    # every batch) — localCheckpointed once. The DELTA signatures are NOT
+    # checkpointed per call (round 12, guide §5): the subtree is
+    # delta-bounded (filter of the checkpointed shingle index + one
+    # groupBy), so recomputing it for its two references costs 2x0.21 s
+    # while the eager localCheckpoint's extra job + block registration
+    # measured 0.40-0.45 s of pure overhead on top of the same compute
+    # (bands 0.21 s -> ckpt+count 0.65 s). Interleaved A/B: 1.24 -> 1.08 s
+    # min per call, bit-equal. At 100 TB the trade holds: two delta-sized
+    # map passes beat materializing a per-batch index copy on the heap.
     from ..sources.tables import session_cache_get
 
     base_bands = session_cache_get(
@@ -662,7 +665,7 @@ def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _minhash_bands(sh.filter(~is_delta), h_col, band_sig).localCheckpoint(),
     )
-    delta_bands = _minhash_bands(sh.filter(is_delta), h_col, band_sig).localCheckpoint()
+    delta_bands = _minhash_bands(sh.filter(is_delta), h_col, band_sig)
     merged = base_bands.unionByName(delta_bands)
     cand = (
         delta_bands.alias("x")

@@ -400,6 +400,28 @@ def _ivf_oracle() -> str:
     """
 
 
+# The flattened seed-centroid codebook (centroid_id, t0..t63, tnorm) is
+# the other persisted IVF artifact: bounded at sqrt(N) rows, read by the
+# assignment build and by EVERY probe-selection subtree. Before this cache
+# each ann_ivf/ann_filtered call re-scanned the embeddings parquet and
+# re-flattened 64 casts + a norm just to rebuild the same codebook
+# (round 12, guide §6: the probes subtree alone measured 0.41 s min of a
+# 1.24 s call at sf0.1). Cached per (session, sf) like flat_corpus.
+_FLAT_CENT_CACHE: dict = {}
+
+
+def flat_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        e = T(spark, sf_dir, "embeddings")
+        return flat_emb(
+            e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0),
+            "centroid_id",
+            "t",
+        ).localCheckpoint()
+
+    return session_cache_get(_FLAT_CENT_CACHE, spark, sf_dir, build)
+
+
 # The thin (neighbor_id, centroid_id) seed-centroid assignment is shared
 # by x_sim_ann_ivf and x_sim_ann_filtered — the same inverted-list table a
 # production deployment persists once and every query probes. Cached per
@@ -416,9 +438,7 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         e = T(spark, sf_dir, "embeddings")
-        cent = flat_emb(
-            e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
-        )
+        cent = flat_centroids(spark, sf_dir)
         corpus = flat_corpus(spark, sf_dir)
         cent_sim = dot_flat("c", "t") / (F.col("cnorm") * F.col("tnorm"))
         return (
@@ -445,9 +465,7 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     those. The inverted-list partitioning is exactly how a 100 TB corpus
     would be laid out (one parquet partition per list)."""
     e = T(spark, sf_dir, "embeddings")
-    cent = flat_emb(
-        e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
-    )
+    cent = flat_centroids(spark, sf_dir)
     corpus = flat_corpus(spark, sf_dir)
     assigned = corpus.join(ivf_assignment(spark, sf_dir), "neighbor_id")
     # Queries pick their nprobe closest centroids.
@@ -564,9 +582,7 @@ def x_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = flat_corpus(spark, sf_dir)
 
     def train() -> DataFrame:
-        cent = flat_emb(
-            e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
-        )
+        cent = flat_centroids(spark, sf_dir)
         for _ in range(_KMEANS_ITERS):
             assigned = _assign_thin(corpus, cent, "neighbor_id")
             members = corpus.join(assigned, "neighbor_id")
@@ -1207,9 +1223,7 @@ def x_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids. Cost: the label rides the thin assignment table (one int per
     vector); selectivity shrinks the rescore set, never grows it."""
     e = T(spark, sf_dir, "embeddings")
-    cent = flat_emb(
-        e.filter(F.col("vec_id") % _centroid_stride(spark, sf_dir) == 0), "centroid_id", "t"
-    )
+    cent = flat_centroids(spark, sf_dir)
     corpus = flat_corpus(spark, sf_dir)
     labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
     assigned_thin = ivf_assignment(spark, sf_dir).join(labels, "neighbor_id")

