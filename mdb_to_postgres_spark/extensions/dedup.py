@@ -1258,12 +1258,16 @@ def _containment_from(
     sh: DataFrame,
     hot_df: int = _HOT_DF,
     stats: tuple[DataFrame, DataFrame] | None = None,
+    *,
+    use_prefix_candidates: bool = True,
 ) -> DataFrame:
-    """Containment (t = 0.8) twin of _split_pairs_from (candidate-free
-    hot/cold split). Consumes the SAME (dfreq, doc_stats) substrate as the
-    Jaccard engine — pass `stats` from doc_pair_stats for the session-
-    cached build (the registered query does; round-9 verdict item 1). The
-    proof obligations shift with the asymmetric measure:
+    """Containment (t = 0.8) twin of _split_pairs_from (hot/cold split),
+    with a PPJoin-style positional prefix filter bounding the cold match
+    stream (round-13; guide §2.2/§3 — prune BEFORE the pair shuffle).
+    Consumes the SAME (dfreq, doc_stats) substrate as the Jaccard engine —
+    pass `stats` from doc_pair_stats for the session-cached build (the
+    registered query does; round-9 verdict item 1). The proof obligations
+    shift with the asymmetric measure:
 
     1. COMPLETENESS: every pair sharing >= 1 cold shingle appears in the
        cold match stream directly; a pair sharing ONLY hot shingles with
@@ -1277,7 +1281,27 @@ def _containment_from(
     3. HOT-ONLY pairs: channel 2 joins the hot-heavy docs' hot shingles
        against the hot posting lists (bounded by |heavy| * max hot df,
        not df^2), anti-joins the survivors, and scores by hot intersect
-       alone (undercount-monotone: no false positive can cross 0.8)."""
+       alone (undercount-monotone: no false positive can cross 0.8).
+    4. PREFIX FILTER (candidate semi-join on channel 1): rank every doc's
+       shingles by the global (df ASC, shingle ASC) total order. If
+       C(a,b) >= 0.8 with s = the smaller doc, at most
+       sz_s - ceil(0.8*sz_s) of s's shingles are unshared, so among s's
+       first p_s = sz_s - ceil(0.8*sz_s) + 1 shingles at least one is
+       shared (pigeonhole) — and therefore the SMALLEST shared shingle
+       w is inside s's prefix. Cold df <= hot_df < hot df, so cold
+       shingles precede every hot one in the order; hence for any pair
+       sharing >= 1 cold shingle, w is COLD, and the candidate join needs
+       only cold prefix entries vs cold postings. For w (the first
+       common shingle in both orders), everything before it on either
+       side is unshared, so isect <= 1 + min(sz_s - rn_s, sz_o - rn_o)
+       — the positional filter; C >= 0.8 then requires
+       10 * (1 + min(remaining)) >= 8 * sz_s, pruning deep-position
+       matches. Pairs pruned here are provably sub-threshold; if they
+       also share hot shingles they may re-surface via channel 2, where
+       the hot-only score is an undercount (<= true C < 0.8) — still no
+       false positive, and no duplicate (channel 2 anti-joins channel-1
+       survivors). Measured at the 100x replica: the cold match stream
+       drops ~112M -> ~output-sized pairs before its groupBy exchange."""
     if stats is None:
         stats = _build_pair_stats(sh, hot_df)
     dfreq, doc_stats = stats
@@ -1286,11 +1310,57 @@ def _containment_from(
     cold = post.filter(F.col("df") <= hot_df)
     ca = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
     cb = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cold_pairs = (
-        ca.join(cb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("cold_isect"))
+    cold_pairs = ca.join(cb, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if use_prefix_candidates:
+        ranked = (
+            post.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "shingle")
+                ),
+            )
+            .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+            .filter(F.col("df") <= hot_df)  # claim 4: w is cold
+            .select("doc_id", "shingle", "rn", "sz")
+        )
+        # prefix length p = sz - ceil(0.8*sz) + 1; integer ceil = (8sz+9) div 10
+        prefix = ranked.filter(
+            F.col("rn") <= F.col("sz") - F.expr("(8 * sz + 9) div 10") + 1
+        )
+        p, f = prefix.alias("p"), ranked.alias("f")
+        cand = (
+            p.join(f, "shingle")
+            .filter(
+                (F.col("p.sz") < F.col("f.sz"))
+                | ((F.col("p.sz") == F.col("f.sz")) & (F.col("p.doc_id") != F.col("f.doc_id")))
+            )
+            .filter(
+                10
+                * (
+                    1
+                    + F.least(
+                        F.col("p.sz") - F.col("p.rn"), F.col("f.sz") - F.col("f.rn")
+                    )
+                )
+                >= 8 * F.col("p.sz")
+            )
+            .select(
+                F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+                F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+            )
+        )
+        # Broadcast build: an SMJ semi would shuffle the full pair stream
+        # (exactly the exchange being removed); the candidate set is
+        # output-scale at t=0.8 (prefix+positional filters), so it rides
+        # a broadcast and the match stream is pruned MAP-SIDE before the
+        # groupBy exchange. At corpus scales where candidates outgrow a
+        # broadcast, drop the hint: the semi degrades to one keyed
+        # shuffle of the stream — the cost the groupBy paid anyway.
+        cold_pairs = cold_pairs.join(
+            F.broadcast(cand), ["doc_a", "doc_b"], "left_semi"
+        )
+    cold_pairs = cold_pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("cold_isect")
     )
     upper = F.col("cold_isect") + F.least("n_hot_a", "n_hot_b")
     survivors = (

@@ -1163,6 +1163,13 @@ def x_text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (gram, 0-indexed position) structs, sorted by (gram, p): slice
         # of sequence(1, n) sidesteps sequence(1, 0)'s descending trap on
         # 1-token docs (slice length n-1 <= 0 yields [] instead).
+        # _SPAN caveat (round-13 advice): starts 0..n-2 are exactly the
+        # full-span starts ONLY because _SPAN == 2; a larger _SPAN would
+        # also emit short tail grams the oracle's range(len - _SPAN + 1)
+        # never generates. Bump _SPAN and the slice length must become
+        # greatest(n - _SPAN + 1, 0). Left as-is for _SPAN = 2: editing
+        # the expression now would churn the pinned zero-Exchange plan
+        # for a provably identical result.
         .withColumn(
             "sg",
             F.expr(

@@ -766,12 +766,34 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost parallelizes flat; the keyed form's extra exchange does not.
     # Kept: the sketch runs over raw rows (one scan, tiny shuffle).
     def agms(df: DataFrame, key: str) -> DataFrame:
+        # Round 13 (guide §1.2 per-task work): the 4 bucket fields are hex
+        # chars 1-16 = two 32-bit ints, the 4 sign nibbles are chars 17-20
+        # = one 16-bit int, so THREE conv(substring) calls replace the
+        # eight of the per-d form. Exact integer identities (hex digits
+        # are non-negative, 65536 % _JS_W == 0):
+        #   conv(substr(hx, 1, 4)) % W == (v01 div 65536) % W
+        #   conv(substr(hx, 5, 4)) % W ==  v01           % W   (etc. for v23)
+        #   conv(substr(hx, 17+d, 1)) % 2 == (sn div 16^(3-d)) % 2
+        # The DuckDB oracle keeps the per-d spelling (_js_bucket/_js_sign);
+        # both sides produce the same sketch cells — hash-checked.
+        assert _JS_D == 4 and 65536 % _JS_W == 0  # packed spelling assumes this
+        w = _JS_W
+        sign = lambda shift: f"(CASE WHEN (sn div {shift}) % 2 = 0 THEN 1 ELSE -1 END)"  # noqa: E731
         pairs = ", ".join(
-            f"struct({_js_bucket(d, False)} AS b, {_js_sign(d, False)} AS sg)"
-            for d in range(_JS_D)
+            (
+                f"struct((v01 div 65536) % {w} AS b, {sign(4096)} AS sg)",
+                f"struct(v01 % {w} AS b, {sign(256)} AS sg)",
+                f"struct((v23 div 65536) % {w} AS b, {sign(16)} AS sg)",
+                f"struct(v23 % {w} AS b, {sign(1)} AS sg)",
+            )
         )
         return (
             df.selectExpr(f"{_js_hx(key, False)} AS hx")
+            .selectExpr(
+                "cast(conv(substring(hx, 1, 8), 16, 10) as bigint) AS v01",
+                "cast(conv(substring(hx, 9, 8), 16, 10) as bigint) AS v23",
+                "cast(conv(substring(hx, 17, 4), 16, 10) as bigint) AS sn",
+            )
             .select(F.posexplode(F.expr(f"array({pairs})")).alias("d", "x"))
             .select("d", "x.b", "x.sg")
             .groupBy("d", "b")

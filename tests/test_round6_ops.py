@@ -94,7 +94,12 @@ def test_span_dedup_makes_progress(spark):
     idempotent by design: excising a span makes its neighbors adjacent,
     which can mint new duplicate grams — the same property the published
     exact-substring dedup has; pipelines iterate to a fixpoint.)"""
-    out = QUERIES["x_text_dedup_spans"](spark, SMOKE_SF)
+    # Materialize before re-deriving: selecting ONLY clean_text lets
+    # CollapseProject inline the whole removal pipeline into the re-run's
+    # per-token filter lambda (the interpreted HOF evaluator re-computes
+    # the subtree per element -> O(n^2 log n) per doc; measured 25+ min
+    # for this one test at sf0.001 before the boundary).
+    out = QUERIES["x_text_dedup_spans"](spark, SMOKE_SF).localCheckpoint()
     clean = out.select(
         F.col("doc_id"), F.col("clean_text").alias("text")
     )

@@ -68,7 +68,8 @@ def main() -> None:
         elif a == "--plans-dir":
             # survey runs (full-registry sweeps) dump explains to a scratch
             # dir so the committed before/after evidence is never clobbered
-            globals()["PLANS"] = argv[i + 1]
+            global PLANS
+            PLANS = argv[i + 1]
             i += 2
         else:
             raise SystemExit(f"unknown arg {a}")
